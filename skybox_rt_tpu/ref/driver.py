@@ -1,0 +1,116 @@
+"""Frame driver: the host render loop (draw3d/main.cpp:171-390 analog).
+
+Walks a CGLTrace's drawcalls, bins each one, resolves the per-draw
+RenderState (with the reference host's exact DCR programming quirks,
+core/state.py), and invokes the tile renderer.  The z and color buffers
+persist across drawcalls, exactly like the reference's device-resident
+zbuf/cbuf (main.cpp:470-490 allocate-once + clear).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import constants as C
+from ..core import state as state_mod
+from ..geom import binning, cgltrace
+from ..texture import sampler as sampler_mod
+from ..texture.mipmap import generate_mipmaps
+from . import renderer
+
+CLEAR_COLOR = np.uint32(0xFF000000)   # main.cpp:47
+CLEAR_DEPTH = np.uint32(0xFFFFFFFF)   # main.cpp:48
+
+
+def log2ceil(x: int) -> int:
+    return max(int(math.ceil(math.log2(x))), 0) if x > 1 else 0
+
+
+@dataclasses.dataclass
+class FrameStats:
+    drawcalls: int = 0
+    prims_binned: int = 0
+    tiles: int = 0
+
+
+def make_texture_binding(trace: cgltrace.CGLTrace, drawcall,
+                         states) -> tuple:
+    """Resolve the TEX DCR block for a drawcall (main.cpp:286-331),
+    reproducing the host's quirks: the filter checks magfilter twice and
+    wrap V uses addressU (main.cpp:304-308)."""
+    texture = trace.textures[drawcall.texture_id]
+    vx_format = C.CGL_TO_VX_FORMAT[texture.format]
+    mip_chain, mip_offsets = generate_mipmaps(
+        texture.pixels, vx_format, texture.width, texture.height
+    )
+    tex_filter = (states.texture_magfilter != C.CGL_FILTER_NEAREST)
+    wrap_u = (C.TEX_WRAP_REPEAT if states.texture_addressU == C.CGL_ADDRESS_WRAP
+              else C.TEX_WRAP_CLAMP)
+    wrap_v = wrap_u  # host quirk: V uses addressU too (main.cpp:308)
+    tex_state = sampler_mod.TextureState(
+        format=vx_format,
+        log_width=log2ceil(texture.width),
+        log_height=log2ceil(texture.height),
+        filter=(C.TEX_FILTER_BILINEAR if tex_filter else C.TEX_FILTER_POINT),
+        wrap_u=wrap_u,
+        wrap_v=wrap_v,
+        mip_offsets=tuple(mip_offsets),
+    )
+    texels = sampler_mod.make_texel_array(vx_format, mip_chain)
+    return tex_state, jnp.asarray(texels)
+
+
+def render_trace(trace: cgltrace.CGLTrace, width: int, height: int,
+                 tile_logsize: int = C.RASTER_TILE_LOGSIZE,
+                 start_draw: int = 0, end_draw: int = 2**31,
+                 stats: FrameStats | None = None) -> np.ndarray:
+    """Render a full trace; returns the (H, W) uint32 ARGB framebuffer."""
+    fbc = np.full((height, width), CLEAR_COLOR, np.uint32)
+    fbd = np.full((height, width), CLEAR_DEPTH, np.uint32)
+    fbc = renderer.pad_framebuffer(fbc, tile_logsize)
+    fbd = renderer.pad_framebuffer(fbd, tile_logsize)
+    fbc = jnp.asarray(fbc)
+    fbd = jnp.asarray(fbd)
+
+    for d, dc in enumerate(trace.drawcalls):
+        if d < start_draw or d > end_draw:
+            continue
+        binned = binning.bin_drawcall(
+            dc.pos, dc.indices, dc.color, dc.texcoord,
+            width, height, dc.near, dc.far, tile_logsize,
+        )
+        if binned is None:
+            continue
+
+        flags = state_mod.make_shader_flags(
+            dc.states.depth_test, dc.states.color_enabled,
+            dc.states.texture_enabled, dc.states.texture_envmode,
+        )
+        om_state = state_mod.make_om_state(dc.states)
+
+        if dc.states.texture_enabled:
+            tex_state, texels = make_texture_binding(trace, dc, dc.states)
+        else:
+            tex_state, texels = None, None
+
+        render_state = state_mod.RenderState(
+            flags=flags, om=om_state, tex=tex_state,
+            scissor=(0, 0, width, height),  # main.cpp:220-221
+        )
+        fbc, fbd = renderer.render_drawcall(
+            render_state, texels, binned, fbc, fbd
+        )
+        if stats is not None:
+            stats.drawcalls += 1
+            stats.prims_binned += binned.num_prims
+            stats.tiles += binned.num_tiles
+
+    return np.asarray(fbc)[:height, :width]
+
+
+def render_scene(name: str, width: int, height: int, **kw) -> np.ndarray:
+    trace = cgltrace.load_cached(cgltrace.trace_path(name))
+    return render_trace(trace, width, height, **kw)
