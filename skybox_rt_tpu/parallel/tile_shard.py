@@ -1,0 +1,150 @@
+"""Tile-parallel sharded rendering + the inverse-rendering training step.
+
+Sharding strategy (SURVEY §2.7-2.8, north-star config 5):
+  * geometry (vertices, indices, per-prim setup) is REPLICATED — the same
+    strategy as the reference, where every raster unit reads the shared
+    primitive buffer; on TPU the geometry processing is a tiny fraction of
+    raster work, so recomputing it per chip beats communicating it
+  * screen tiles are SHARDED across the 'tiles' mesh axis — the analog of
+    the reference's tile striping across raster units
+    (raster_unit.cpp:109-114: unit i takes tiles i, i+N, ...)
+  * the loss is psum-reduced; parameter gradients are psum-reduced across
+    the mesh (the gradient all-reduce; XLA overlaps these collectives with
+    the remaining backward compute)
+  * framebuffer assembly = psum of disjoint tile scatters (each chip owns
+    its tiles; races are impossible by construction)
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from ..diff import pipeline
+from . import mesh as mesh_mod
+
+F32 = jnp.float32
+
+
+def shard_tiles(static: dict, n_shards: int) -> dict:
+    """Pad binning output so the tile axis divides the mesh.
+
+    Padding tiles get empty pid lists and scatter to tile (0,0) with zero
+    contribution (their rendered tiles are all-background and masked out of
+    the psum scatter by a weight of 0).
+    """
+    tile_pids = mesh_mod.pad_to_multiple(
+        np.asarray(static["tile_pids"]), n_shards, axis=0, fill=-1
+    )
+    T = tile_pids.shape[0]
+    tile_xy = np.zeros((T, 2), np.int32)
+    tile_xy[: static["tile_xy"].shape[0]] = static["tile_xy"]
+    tile_valid = np.zeros((T,), np.float32)
+    tile_valid[: static["tile_xy"].shape[0]] = 1.0
+    return dict(static, tile_pids=tile_pids, tile_xy=tile_xy,
+                tile_valid=tile_valid)
+
+
+def make_sharded_render(mesh, cfg: pipeline.DiffRenderConfig):
+    """Full-frame sharded forward render: each chip renders its tile strip,
+    frames are assembled with a psum over disjoint scatters."""
+    ts = 1 << cfg.tile_logsize
+    Hp = -(-cfg.height // ts) * ts
+    Wp = -(-cfg.width // ts) * ts
+    gh, gw = Hp // ts, Wp // ts
+    axis = mesh.axis_names[0]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis)),
+        out_specs=P(), check_vma=False,
+    )
+    def _render(params, indices, tile_pids, tile_xy, tile_valid):
+        setup = pipeline.prim_setup(params, indices, cfg)   # replicated
+        tiles = pipeline.render_tile_set(setup, tile_pids, tile_xy * ts, cfg)
+        tiles = tiles * tile_valid[:, None, None, None]
+        canvas = jnp.zeros((gh, gw, ts, ts, 4), F32)
+        canvas = canvas.at[tile_xy[:, 1], tile_xy[:, 0]].add(tiles)
+        cover = jnp.zeros((gh, gw), F32).at[tile_xy[:, 1], tile_xy[:, 0]].add(
+            tile_valid)
+        canvas = jax.lax.psum(canvas, axis)
+        cover = jax.lax.psum(cover, axis)
+        # tiles no primitive was binned to keep the clear color
+        bg = jnp.asarray(cfg.background, F32)
+        canvas = canvas + ((cover == 0).astype(F32)[:, :, None, None, None]
+                           * bg[None, None, None, None, :])
+        return canvas.transpose(0, 2, 1, 3, 4).reshape(Hp, Wp, 4)
+
+    def render(params, static):
+        return _render(
+            params, jnp.asarray(static["indices"]),
+            jnp.asarray(static["tile_pids"]), jnp.asarray(static["tile_xy"]),
+            jnp.asarray(static["tile_valid"]),
+        )
+
+    return render
+
+
+def make_train_step(mesh, cfg: pipeline.DiffRenderConfig, lr: float = 0.1,
+                    trainable: tuple = ("color", "pos", "uv", "tex")):
+    """Inverse-rendering SGD step, tile-sharded with gradient all-reduce.
+
+    target_tiles are pre-gathered per tile on the host (the per-chip loss
+    only touches local tiles — no image-sized communication in the loss).
+    Returns step(params, static_arrays, target_tiles) -> (params, loss).
+    """
+    ts = 1 << cfg.tile_logsize
+    axis = mesh.axis_names[0]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()), check_vma=False,
+    )
+    def _grads(params, indices, tile_pids, tile_xy, tile_valid, target_tiles):
+        def local_loss(params):
+            setup = pipeline.prim_setup(params, indices, cfg)
+            tiles = pipeline.render_tile_set(setup, tile_pids, tile_xy * ts,
+                                             cfg)
+            err = (tiles - target_tiles) ** 2
+            return jnp.sum(err * tile_valid[:, None, None, None])
+
+        loss, grads = jax.value_and_grad(local_loss)(params)
+        # gradient all-reduce across the mesh; XLA schedules these psums
+        # concurrently with remaining backward work
+        loss = jax.lax.psum(loss, axis)
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, axis), grads)
+        return loss, grads
+
+    @jax.jit
+    def step(params, arrays, target_tiles):
+        loss, grads = _grads(
+            params, arrays["indices"], arrays["tile_pids"],
+            arrays["tile_xy"], arrays["tile_valid"], target_tiles,
+        )
+        params = {
+            k: (v - lr * grads[k] if k in trainable else v)
+            for k, v in params.items()
+        }
+        return params, loss
+
+    return step
+
+
+def gather_target_tiles(target_img: np.ndarray, tile_xy: np.ndarray,
+                        tile_logsize: int) -> np.ndarray:
+    """Cut the (H, W, 4) target image into the binned tile order."""
+    ts = 1 << tile_logsize
+    H, W = target_img.shape[:2]
+    Hp = -(-H // ts) * ts
+    Wp = -(-W // ts) * ts
+    pad = np.zeros((Hp, Wp, 4), np.float32)
+    pad[:H, :W] = target_img
+    out = np.zeros((tile_xy.shape[0], ts, ts, 4), np.float32)
+    for t, (tx, ty) in enumerate(np.asarray(tile_xy)):
+        out[t] = pad[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
+    return out
