@@ -1,0 +1,208 @@
+"""BVH construction (host) + vectorized traversal (device).
+
+Build: binned median split over the longest centroid axis (host numpy —
+the analog of the reference's host-side binning pass, gfxutil.cpp:103-276:
+acceleration structure built once per scene on the host, consumed by the
+device inner loop).  Node layout is a flat struct-of-arrays:
+
+  node_min/max (N, 3) f32   AABB
+  node_left    (N,)   i32   left child   (internal nodes)
+  node_right   (N,)   i32   right child
+  node_first   (N,)   i32   first index into prim_order (leaves)
+  node_count   (N,)   i32   prim count (0 => internal)
+  prim_order   (P,)   i32   triangle permutation so leaf prims are contiguous
+
+Traversal: per-ray explicit stack inside lax.while_loop, vmapped over the
+ray batch — rays advance in lockstep with masked lanes (the RT analog of
+the reference's SIMT divergence handling, SURVEY §2.7: ipdom stack ->
+while_loop + masks).  Leaves hold up to LEAF_SIZE triangles tested with a
+vectorized Möller–Trumbore.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import intersect
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+LEAF_SIZE = 4
+STACK_DEPTH = 64
+
+
+@dataclasses.dataclass
+class BVH:
+    node_min: np.ndarray
+    node_max: np.ndarray
+    node_left: np.ndarray
+    node_right: np.ndarray
+    node_first: np.ndarray
+    node_count: np.ndarray
+    prim_order: np.ndarray
+
+    @property
+    def num_nodes(self):
+        return self.node_min.shape[0]
+
+    def as_device_arrays(self):
+        return tuple(jnp.asarray(a) for a in (
+            self.node_min, self.node_max, self.node_left, self.node_right,
+            self.node_first, self.node_count, self.prim_order))
+
+
+def build(verts: np.ndarray, faces: np.ndarray,
+          leaf_size: int = LEAF_SIZE) -> BVH:
+    """Median-split BVH over triangle centroids."""
+    verts = np.asarray(verts, np.float32)
+    faces = np.asarray(faces, np.int64)
+    P = faces.shape[0]
+    tri = verts[faces]                      # (P, 3, 3)
+    tmin = tri.min(1)
+    tmax = tri.max(1)
+    cent = tri.mean(1)
+
+    node_min, node_max = [], []
+    node_left, node_right = [], []
+    node_first, node_count = [], []
+    order = np.arange(P)
+
+    def new_node():
+        node_min.append(None)
+        node_max.append(None)
+        node_left.append(-1)
+        node_right.append(-1)
+        node_first.append(0)
+        node_count.append(0)
+        return len(node_min) - 1
+
+    # iterative build (explicit work stack to avoid recursion limits)
+    root = new_node()
+    work = [(root, 0, P)]
+    while work:
+        ni, lo, hi = work.pop()
+        ids = order[lo:hi]
+        node_min[ni] = tmin[ids].min(0)
+        node_max[ni] = tmax[ids].max(0)
+        n = hi - lo
+        if n <= leaf_size:
+            node_first[ni] = lo
+            node_count[ni] = n
+            continue
+        ext = cent[ids].max(0) - cent[ids].min(0)
+        axis = int(ext.argmax())
+        # median split on centroid
+        key = cent[ids, axis]
+        part = np.argsort(key, kind="stable")
+        order[lo:hi] = ids[part]
+        mid = lo + n // 2
+        li = new_node()
+        ri = new_node()
+        node_left[ni] = li
+        node_right[ni] = ri
+        work.append((li, lo, mid))
+        work.append((ri, mid, hi))
+
+    return BVH(
+        node_min=np.asarray(node_min, np.float32),
+        node_max=np.asarray(node_max, np.float32),
+        node_left=np.asarray(node_left, np.int32),
+        node_right=np.asarray(node_right, np.int32),
+        node_first=np.asarray(node_first, np.int32),
+        node_count=np.asarray(node_count, np.int32),
+        prim_order=order.astype(np.int32),
+    )
+
+
+def _aabb_hit(bmin, bmax, orig, inv_dir, t_best):
+    """Slab test; robust to inf inv_dir (axis-parallel rays)."""
+    t0 = (bmin - orig) * inv_dir
+    t1 = (bmax - orig) * inv_dir
+    tn = jnp.minimum(t0, t1)
+    tf = jnp.maximum(t0, t1)
+    t_near = jnp.maximum(jnp.max(tn), 0.0)
+    t_far = jnp.minimum(jnp.min(tf), t_best)
+    return t_near <= t_far
+
+
+def closest_hit(bvh_arrays, tri_arrays, orig, direction,
+                t_min=1e-4, t_max=jnp.inf,
+                leaf_size: int = LEAF_SIZE,
+                stack_depth: int = STACK_DEPTH):
+    """Closest-hit traversal for a ray batch.
+
+    bvh_arrays: BVH.as_device_arrays(); tri_arrays: (v0, e1, e2) in the
+    ORIGINAL primitive order (prim_order indices resolve into them).
+    orig, direction: (R, 3).
+    Returns (prim_id (R,), t, u, v) — prim ids in original order, -1 miss.
+    """
+    (nmin, nmax, nleft, nright, nfirst, ncount, prim_order) = bvh_arrays
+    v0, e1, e2 = tri_arrays
+
+    def one_ray(o, d):
+        safe = jnp.abs(d) > 1e-12
+        inv_d = jnp.where(safe, 1.0 / jnp.where(safe, d, 1.0), 1e30)
+
+        stack = jnp.zeros((stack_depth,), I32)
+        # state: (sp, stack, best_t, best_prim, best_u, best_v)
+        state = (jnp.int32(1), stack, jnp.asarray(t_max, F32),
+                 jnp.int32(-1), F32(0), F32(0))
+
+        def cond(state):
+            sp = state[0]
+            return sp > 0
+
+        def body(state):
+            sp, stack, best_t, best_p, best_u, best_v = state
+            node = stack[sp - 1]
+            sp = sp - 1
+
+            hit_box = _aabb_hit(nmin[node], nmax[node], o, inv_d, best_t)
+            count = ncount[node]
+            is_leaf = count > 0
+
+            # --- leaf: test up to leaf_size prims (masked) ---
+            first = nfirst[node]
+            ks = jnp.arange(leaf_size)
+            pids = prim_order[jnp.clip(first + ks, 0, prim_order.shape[0] - 1)]
+            pm = hit_box & is_leaf & (ks < count)
+            h, t, u, v = intersect.moller_trumbore(
+                o[None], d[None], v0[pids], e1[pids], e2[pids],
+                t_min, best_t,
+            )
+            h = h & pm
+            t_m = jnp.where(h, t, jnp.inf)
+            k_best = jnp.argmin(t_m)
+            better = t_m[k_best] < best_t
+            best_t = jnp.where(better, t_m[k_best], best_t)
+            best_p = jnp.where(better, pids[k_best], best_p)
+            best_u = jnp.where(better, u[k_best], best_u)
+            best_v = jnp.where(better, v[k_best], best_v)
+
+            # --- internal: push children ---
+            push = hit_box & ~is_leaf
+            stack = stack.at[sp].set(jnp.where(push, nleft[node], stack[sp]))
+            sp1 = sp + push.astype(I32)
+            stack = stack.at[sp1].set(
+                jnp.where(push, nright[node], stack[sp1]))
+            sp = sp1 + push.astype(I32)
+
+            return (sp, stack, best_t, best_p, best_u, best_v)
+
+        sp, stack, best_t, best_p, best_u, best_v = jax.lax.while_loop(
+            cond, body, state)
+        return best_p, jnp.where(best_p >= 0, best_t, jnp.inf), best_u, best_v
+
+    return jax.vmap(one_ray)(orig, direction)
+
+
+def any_hit(bvh_arrays, tri_arrays, orig, direction, t_min=1e-4, t_max=1.0,
+            leaf_size: int = LEAF_SIZE, stack_depth: int = STACK_DEPTH):
+    """Occlusion traversal (shadow rays): early-out on first hit."""
+    prim, t, _, _ = closest_hit(bvh_arrays, tri_arrays, orig, direction,
+                                t_min, t_max, leaf_size, stack_depth)
+    return prim >= 0

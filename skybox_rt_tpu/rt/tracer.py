@@ -1,0 +1,216 @@
+"""Ray tracer: camera, shading loop, multi-bounce path tracing.
+
+The shading stages reuse the raster pipeline's material model (barycentric
+attribute interpolation, bilinear texture lookup, over-compositing), so the
+RT and raster paths share behavior the way the reference's SW/HW paths
+share graphics.cpp (SURVEY §2.1 B9).
+
+Parallelism: rays are a flat (R, ...) batch — the "long context" axis
+(SURVEY §5): shard over chips in skybox_rt_tpu.parallel, keep per-chip
+batches VPU-shaped.  Bounces iterate with lax.scan over a fixed depth with
+active-lane masks (divergence -> predication, the ipdom-stack analog).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diff.pipeline import sample_texture_bilinear
+from . import bvh as bvh_mod
+from . import intersect
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+
+@dataclasses.dataclass(frozen=True)
+class Camera:
+    """Pinhole camera."""
+    eye: tuple
+    look_at: tuple
+    up: tuple = (0.0, 1.0, 0.0)
+    fov_y_deg: float = 45.0
+
+    def basis(self):
+        eye = jnp.asarray(self.eye, F32)
+        fwd = jnp.asarray(self.look_at, F32) - eye
+        fwd = fwd / jnp.linalg.norm(fwd)
+        right = jnp.cross(fwd, jnp.asarray(self.up, F32))
+        right = right / jnp.linalg.norm(right)
+        up = jnp.cross(right, fwd)
+        return eye, fwd, right, up
+
+
+@dataclasses.dataclass(frozen=True)
+class RTConfig:
+    width: int
+    height: int
+    bounces: int = 0              # extra reflection bounces after primary
+    shadows: bool = False
+    textured: bool = False
+    use_bvh: bool = True
+    background: tuple = (0.0, 0.0, 0.0, 1.0)
+    ambient: float = 0.1
+    light_dir: tuple = (0.4, 0.8, 0.45)   # directional light (to light)
+    light_color: tuple = (1.0, 1.0, 1.0)
+
+
+@dataclasses.dataclass
+class RTScene:
+    """Host-side scene: geometry + per-vertex attributes + materials."""
+    verts: np.ndarray          # (V, 3)
+    faces: np.ndarray          # (P, 3)
+    colors: np.ndarray         # (V, 4) vertex albedo
+    normals: np.ndarray = None # (V, 3) vertex normals (computed if None)
+    uvs: np.ndarray = None     # (V, 2)
+    texture: np.ndarray = None # (TH, TW, 4) float
+    reflectivity: float = 0.0  # uniform mirror weight for bounce demo
+    bvh: bvh_mod.BVH = None
+
+    def finalize(self):
+        if self.normals is None:
+            self.normals = vertex_normals(self.verts, self.faces)
+        if self.bvh is None:
+            self.bvh = bvh_mod.build(self.verts, self.faces)
+        return self
+
+
+def vertex_normals(verts, faces):
+    """Area-weighted smooth vertex normals (host)."""
+    verts = np.asarray(verts, np.float64)
+    faces = np.asarray(faces, np.int64)
+    fn = np.cross(verts[faces[:, 1]] - verts[faces[:, 0]],
+                  verts[faces[:, 2]] - verts[faces[:, 0]])
+    n = np.zeros_like(verts)
+    for k in range(3):
+        np.add.at(n, faces[:, k], fn)
+    norm = np.linalg.norm(n, axis=1, keepdims=True)
+    return (n / np.maximum(norm, 1e-20)).astype(np.float32)
+
+
+def camera_rays(cam: Camera, width: int, height: int):
+    """Primary rays through pixel centers; row 0 = bottom (GL convention,
+    matching the raster framebuffer orientation)."""
+    eye, fwd, right, up = cam.basis()
+    aspect = width / height
+    tan_h = jnp.tan(jnp.deg2rad(cam.fov_y_deg) * 0.5)
+    ys = (jnp.arange(height, dtype=F32) + 0.5) / height * 2.0 - 1.0
+    xs = (jnp.arange(width, dtype=F32) + 0.5) / width * 2.0 - 1.0
+    px = xs[None, :] * tan_h * aspect
+    py = ys[:, None] * tan_h
+    d = (fwd[None, None]
+         + right[None, None] * px[..., None]
+         + up[None, None] * py[..., None])
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.broadcast_to(eye, d.shape)
+    return o.reshape(-1, 3), d.reshape(-1, 3)
+
+
+def _interp(attr_per_vertex, faces, prim, u, v):
+    """Barycentric interpolation of vertex attributes at hit points."""
+    p = jnp.maximum(prim, 0)
+    a0 = attr_per_vertex[faces[p, 0]]
+    a1 = attr_per_vertex[faces[p, 1]]
+    a2 = attr_per_vertex[faces[p, 2]]
+    w = (1.0 - u - v)[..., None]
+    return a0 * w + a1 * u[..., None] + a2 * v[..., None]
+
+
+def make_intersectors(scene: RTScene, cfg: RTConfig):
+    tri = intersect.triangle_arrays(jnp.asarray(scene.verts),
+                                    jnp.asarray(scene.faces))
+    if cfg.use_bvh:
+        bvh_arr = scene.bvh.as_device_arrays()
+
+        def closest(o, d, t_max=jnp.inf):
+            return bvh_mod.closest_hit(bvh_arr, tri, o, d, t_max=t_max)
+
+        def occluded(o, d, t_max):
+            return bvh_mod.any_hit(bvh_arr, tri, o, d, t_max=t_max)
+    else:
+        def closest(o, d, t_max=jnp.inf):
+            return intersect.closest_hit_bruteforce(*((o, d) + tri),
+                                                    t_max=t_max)
+
+        def occluded(o, d, t_max):
+            return intersect.any_hit_bruteforce(*((o, d) + tri), t_max=t_max)
+    return closest, occluded
+
+
+def shade_hits(scene_arrays, cfg: RTConfig, occluded, o, d, prim, t, u, v):
+    """Lambert + optional texture + optional shadow for a hit batch.
+
+    Returns (rgb (R,3), hit_mask (R,), hit_point, normal)."""
+    faces = scene_arrays["faces"]
+    hit = prim >= 0
+    pt = o + d * jnp.where(hit, t, 0.0)[..., None]
+    n = _interp(scene_arrays["normals"], faces, prim, u, v)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    # two-sided shading: flip normal against the incoming ray
+    n = jnp.where(jnp.sum(n * d, -1, keepdims=True) > 0, -n, n)
+
+    albedo = _interp(scene_arrays["colors"], faces, prim, u, v)[..., :3]
+    if cfg.textured:
+        uv = _interp(scene_arrays["uvs"], faces, prim, u, v)
+        texel = sample_texture_bilinear(scene_arrays["texture"],
+                                        uv[..., 0], uv[..., 1])
+        albedo = albedo * texel[..., :3]
+
+    ldir = jnp.asarray(cfg.light_dir, F32)
+    ldir = ldir / jnp.linalg.norm(ldir)
+    ndotl = jnp.maximum(jnp.sum(n * ldir, -1), 0.0)
+
+    if cfg.shadows:
+        sh_o = pt + n * 1e-3
+        sh_d = jnp.broadcast_to(ldir, sh_o.shape)
+        blocked = occluded(sh_o, sh_d, 1e8)
+        ndotl = jnp.where(blocked, 0.0, ndotl)
+
+    lc = jnp.asarray(cfg.light_color, F32)
+    rgb = albedo * (cfg.ambient + ndotl[..., None] * lc)
+    return rgb, hit, pt, n
+
+
+def render(scene: RTScene, cam: Camera, cfg: RTConfig):
+    """Full RT render -> (H, W, 4) float32 image (row 0 = bottom)."""
+    scene = scene.finalize()
+    scene_arrays = {
+        "faces": jnp.asarray(scene.faces),
+        "normals": jnp.asarray(scene.normals),
+        "colors": jnp.asarray(scene.colors),
+    }
+    if cfg.textured:
+        scene_arrays["uvs"] = jnp.asarray(scene.uvs)
+        scene_arrays["texture"] = jnp.asarray(scene.texture)
+
+    closest, occluded = make_intersectors(scene, cfg)
+    o, d = camera_rays(cam, cfg.width, cfg.height)
+
+    prim, t, u, v = closest(o, d)
+    rgb, hit, pt, n = shade_hits(scene_arrays, cfg, occluded,
+                                 o, d, prim, t, u, v)
+
+    # mirror bounces: active-mask iteration (divergence as predication)
+    if cfg.bounces > 0 and scene.reflectivity > 0:
+        refl = F32(scene.reflectivity)
+        weight = jnp.where(hit, refl, 0.0)[..., None]
+        cur_o, cur_d, cur_n = pt, d, n
+        for _ in range(cfg.bounces):
+            rd = cur_d - 2.0 * jnp.sum(cur_d * cur_n, -1, keepdims=True) * cur_n
+            ro = cur_o + cur_n * 1e-3
+            p2, t2, u2, v2 = closest(ro, rd)
+            rgb2, hit2, pt2, n2 = shade_hits(scene_arrays, cfg, occluded,
+                                             ro, rd, p2, t2, u2, v2)
+            bg = jnp.asarray(cfg.background[:3], F32)
+            contrib = jnp.where(hit2[..., None], rgb2, bg)
+            rgb = rgb * (1.0 - weight) + contrib * weight
+            weight = weight * jnp.where(hit2, refl, 0.0)[..., None]
+            cur_o, cur_d, cur_n = pt2, rd, n2
+
+    bg = jnp.asarray(cfg.background, F32)
+    out = jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], -1)
+    img = jnp.where(hit[..., None], out, bg)
+    return img.reshape(cfg.height, cfg.width, 4)

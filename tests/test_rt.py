@@ -1,0 +1,146 @@
+"""Ray-tracing path tests: MT intersection, BVH vs brute-force parity,
+end-to-end renders (north-star configs 2-3 shapes)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from skybox_rt_tpu.models import scenes
+from skybox_rt_tpu.rt import bvh as bvh_mod
+from skybox_rt_tpu.rt import intersect, tracer
+
+
+def test_moller_trumbore_analytic():
+    # unit triangle in z=0 plane
+    v0 = jnp.array([[0.0, 0.0, 0.0]])
+    e1 = jnp.array([[1.0, 0.0, 0.0]])
+    e2 = jnp.array([[0.0, 1.0, 0.0]])
+    o = jnp.array([[0.25, 0.25, -1.0], [0.9, 0.9, -1.0], [0.25, 0.25, 1.0]])
+    d = jnp.array([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0], [0.0, 0.0, -1.0]])
+    hit, t, u, v = intersect.moller_trumbore(o, d, v0, e1, e2)
+    assert bool(hit[0]) and not bool(hit[1])
+    assert bool(hit[2])  # two-sided: hits from behind too
+    np.testing.assert_allclose(float(t[0]), 1.0, atol=1e-6)
+    np.testing.assert_allclose([float(u[0]), float(v[0])], [0.25, 0.25],
+                               atol=1e-6)
+
+
+def test_bvh_matches_bruteforce():
+    verts, faces = scenes.icosphere(subdiv=2)
+    bvh = bvh_mod.build(verts, faces)
+    tri = intersect.triangle_arrays(jnp.asarray(verts), jnp.asarray(faces))
+
+    rng = np.random.default_rng(0)
+    R = 512
+    o = rng.normal(size=(R, 3)).astype(np.float32) * 3.0
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    p_b, t_b, u_b, v_b = intersect.closest_hit_bruteforce(
+        jnp.asarray(o), jnp.asarray(d), *tri)
+    p_h, t_h, u_h, v_h = bvh_mod.closest_hit(
+        bvh.as_device_arrays(), tri, jnp.asarray(o), jnp.asarray(d))
+
+    np.testing.assert_array_equal(np.asarray(p_b), np.asarray(p_h))
+    hits = np.asarray(p_b) >= 0
+    np.testing.assert_allclose(np.asarray(t_b)[hits], np.asarray(t_h)[hits],
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(u_b)[hits], np.asarray(u_h)[hits],
+                               atol=1e-5)
+
+
+def test_bvh_structure():
+    verts, faces = scenes.icosphere(subdiv=1)
+    bvh = bvh_mod.build(verts, faces)
+    # every prim appears exactly once across leaves
+    leaves = bvh.node_count > 0
+    covered = []
+    for ni in np.flatnonzero(leaves):
+        f = bvh.node_first[ni]
+        covered.extend(bvh.prim_order[f:f + bvh.node_count[ni]])
+    assert sorted(covered) == list(range(faces.shape[0]))
+    # children AABBs inside parent AABB
+    for ni in np.flatnonzero(~leaves):
+        for ci in (bvh.node_left[ni], bvh.node_right[ni]):
+            assert (bvh.node_min[ci] >= bvh.node_min[ni] - 1e-6).all()
+            assert (bvh.node_max[ci] <= bvh.node_max[ni] + 1e-6).all()
+
+
+def _sphere_scene(reflectivity=0.0):
+    verts, faces = scenes.icosphere(subdiv=2)
+    colors = np.ones((verts.shape[0], 4), np.float32)
+    colors[:, 0] = 0.8
+    colors[:, 1] = 0.3
+    colors[:, 2] = 0.2
+    return tracer.RTScene(verts=verts, faces=faces, colors=colors,
+                          reflectivity=reflectivity)
+
+
+@pytest.mark.parametrize("use_bvh", [False, True])
+def test_primary_ray_sphere_render(use_bvh):
+    """North-star config 2: primary-ray BVH trace, flat shading."""
+    scene = _sphere_scene()
+    cam = tracer.Camera(eye=(0, 0, 3), look_at=(0, 0, 0))
+    cfg = tracer.RTConfig(width=64, height=64, use_bvh=use_bvh)
+    img = np.asarray(tracer.render(scene, cam, cfg))
+    assert img.shape == (64, 64, 4)
+    # sphere silhouette: center hit, corner miss
+    assert img[32, 32, :3].max() > 0.05
+    assert (img[0, 0] == np.array([0, 0, 0, 1], np.float32)).all()
+    # silhouette is approximately a disc of radius ~ r*f/z
+    hit_frac = (img[..., :3].sum(-1) > 0).mean()
+    assert 0.2 < hit_frac < 0.6
+
+    # shading is brighter toward the light
+    bright_up = img[40, 36, :3].sum()
+    dark_down = img[18, 24, :3].sum()
+    assert bright_up > dark_down
+
+
+def test_bvh_and_bruteforce_render_identical():
+    scene = _sphere_scene()
+    cam = tracer.Camera(eye=(0.5, 0.8, 2.5), look_at=(0, 0, 0))
+    a = np.asarray(tracer.render(
+        scene, cam, tracer.RTConfig(width=48, height=48, use_bvh=True)))
+    b = np.asarray(tracer.render(
+        scene, cam, tracer.RTConfig(width=48, height=48, use_bvh=False)))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_shadows_and_plane():
+    """Sphere over ground plane: the plane must show a shadow."""
+    verts_s, faces_s = scenes.icosphere(subdiv=2)
+    verts_p, faces_p = scenes.mesh_grid_plane(n=4, y=-1.2, half=6.0)
+    verts = np.concatenate([verts_s, verts_p])
+    faces = np.concatenate([faces_s, faces_p + verts_s.shape[0]])
+    colors = np.ones((verts.shape[0], 4), np.float32) * 0.8
+    scene = tracer.RTScene(verts=verts, faces=faces, colors=colors)
+    cam = tracer.Camera(eye=(0, 1.5, 4.5), look_at=(0, -0.5, 0))
+    cfg = tracer.RTConfig(width=64, height=64, shadows=True,
+                          light_dir=(0.1, 1.0, 0.1))
+    img = np.asarray(tracer.render(scene, cam, cfg))
+    noshadow = np.asarray(tracer.render(
+        scene, cam, tracer.RTConfig(width=64, height=64, shadows=False,
+                                    light_dir=(0.1, 1.0, 0.1))))
+    # shadowed image must be darker somewhere on the plane
+    diff = noshadow[..., :3].sum() - img[..., :3].sum()
+    assert diff > 1.0
+
+
+def test_reflection_bounce():
+    """Mirror sphere over checkered plane: bounces change the image."""
+    scene = _sphere_scene(reflectivity=0.6)
+    verts_p, faces_p = scenes.mesh_grid_plane(n=4, y=-1.2, half=8.0)
+    v = np.concatenate([scene.verts, verts_p])
+    f = np.concatenate([scene.faces, faces_p + scene.verts.shape[0]])
+    c = np.concatenate([scene.colors,
+                        np.tile(np.array([[0.2, 0.6, 0.9, 1.0]], np.float32),
+                                (verts_p.shape[0], 1))])
+    scene = tracer.RTScene(verts=v, faces=f, colors=c, reflectivity=0.6)
+    cam = tracer.Camera(eye=(0, 0.8, 3.5), look_at=(0, 0, 0))
+    img0 = np.asarray(tracer.render(
+        scene, cam, tracer.RTConfig(width=48, height=48, bounces=0)))
+    img2 = np.asarray(tracer.render(
+        scene, cam, tracer.RTConfig(width=48, height=48, bounces=2)))
+    assert np.abs(img2 - img0).max() > 0.05
+    assert np.isfinite(img2).all()
