@@ -18,7 +18,7 @@ import numpy as np
 
 SCENE = "tekkaman"
 SIZE = 256
-FRAMES = 5
+FRAMES = 20
 NOMINAL_BASELINE_MPIX_S = 1.0
 
 
@@ -34,46 +34,20 @@ def main():
     trace = cgltrace.load_cached(cgltrace.trace_path(SCENE))
 
     # --- host-side setup (untimed, like the reference's binning) ---
-    draws = []
-    for dc in trace.drawcalls:
-        binned = binning.bin_drawcall(
-            dc.pos, dc.indices, dc.color, dc.texcoord,
-            SIZE, SIZE, dc.near, dc.far, tile_logsize=5,
-        )
-        if binned is None:
-            continue
-        flags = state_mod.make_shader_flags(
-            dc.states.depth_test, dc.states.color_enabled,
-            dc.states.texture_enabled, dc.states.texture_envmode,
-        )
-        om_state = state_mod.make_om_state(dc.states)
-        if dc.states.texture_enabled:
-            tex_state, texels = ref_driver.make_texture_binding(
-                trace, dc, dc.states)
-        else:
-            tex_state, texels = None, jnp.zeros((1,), jnp.uint32)
-        rs = state_mod.RenderState(flags=flags, om=om_state, tex=tex_state,
-                                   scissor=(0, 0, SIZE, SIZE))
-        draws.append((rs, texels, binned))
-
-    def render_frame():
-        fbc = jnp.full((SIZE, SIZE), np.uint32(0xFF000000), jnp.uint32)
-        fbd = jnp.full((SIZE, SIZE), np.uint32(0xFFFFFFFF), jnp.uint32)
-        for rs, texels, binned in draws:
-            fbc, fbd = renderer.render_drawcall(rs, texels, binned, fbc, fbd)
-        return fbc
+    frame, arrays = ref_driver.compile_frame(trace, SIZE, SIZE)
+    num_draws = len(arrays)
 
     # warmup (compile)
-    fb = render_frame()
+    fb = frame(arrays)
     jax.block_until_ready(fb)
 
     t0 = time.perf_counter()
     for _ in range(FRAMES):
-        fb = render_frame()
+        fb = frame(arrays)
     jax.block_until_ready(fb)
     elapsed = time.perf_counter() - t0
 
-    pixels = SIZE * SIZE * len(draws) * FRAMES
+    pixels = SIZE * SIZE * num_draws * FRAMES
     mpix_s = pixels / elapsed / 1e6
     print(json.dumps({
         "metric": f"draw3d_{SCENE}_{SIZE}x{SIZE}_fwd",

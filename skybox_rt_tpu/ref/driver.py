@@ -66,8 +66,18 @@ def make_texture_binding(trace: cgltrace.CGLTrace, drawcall,
 def render_trace(trace: cgltrace.CGLTrace, width: int, height: int,
                  tile_logsize: int = C.RASTER_TILE_LOGSIZE,
                  start_draw: int = 0, end_draw: int = 2**31,
-                 stats: FrameStats | None = None) -> np.ndarray:
-    """Render a full trace; returns the (H, W) uint32 ARGB framebuffer."""
+                 stats: FrameStats | None = None,
+                 mode: str = "immediate") -> np.ndarray:
+    """Render a full trace; returns the (H, W) uint32 ARGB framebuffer.
+
+    mode: "immediate" (the ref oracle) or "deferred" (optimized exact path,
+    ops.deferred; falls back per drawcall when not equivalence-safe).
+    """
+    if mode == "deferred":
+        from ..ops import deferred as deferred_mod
+        render_dc = deferred_mod.render_drawcall
+    else:
+        render_dc = renderer.render_drawcall
     fbc = np.full((height, width), CLEAR_COLOR, np.uint32)
     fbd = np.full((height, width), CLEAR_DEPTH, np.uint32)
     fbc = renderer.pad_framebuffer(fbc, tile_logsize)
@@ -100,9 +110,7 @@ def render_trace(trace: cgltrace.CGLTrace, width: int, height: int,
             flags=flags, om=om_state, tex=tex_state,
             scissor=(0, 0, width, height),  # main.cpp:220-221
         )
-        fbc, fbd = renderer.render_drawcall(
-            render_state, texels, binned, fbc, fbd
-        )
+        fbc, fbd = render_dc(render_state, texels, binned, fbc, fbd)
         if stats is not None:
             stats.drawcalls += 1
             stats.prims_binned += binned.num_prims
@@ -114,3 +122,64 @@ def render_trace(trace: cgltrace.CGLTrace, width: int, height: int,
 def render_scene(name: str, width: int, height: int, **kw) -> np.ndarray:
     trace = cgltrace.load_cached(cgltrace.trace_path(name))
     return render_trace(trace, width, height, **kw)
+
+
+def prepare_drawcalls(trace: cgltrace.CGLTrace, width: int, height: int,
+                      tile_logsize: int = C.RASTER_TILE_LOGSIZE):
+    """Host-side frame setup: bin every drawcall and resolve its state.
+    Returns a list of (RenderState, texels, BinnedDrawcall)."""
+    draws = []
+    for dc in trace.drawcalls:
+        binned = binning.bin_drawcall(
+            dc.pos, dc.indices, dc.color, dc.texcoord,
+            width, height, dc.near, dc.far, tile_logsize,
+        )
+        if binned is None:
+            continue
+        flags = state_mod.make_shader_flags(
+            dc.states.depth_test, dc.states.color_enabled,
+            dc.states.texture_enabled, dc.states.texture_envmode,
+        )
+        om_state = state_mod.make_om_state(dc.states)
+        if dc.states.texture_enabled:
+            tex_state, texels = make_texture_binding(trace, dc, dc.states)
+        else:
+            tex_state, texels = None, jnp.zeros((1,), jnp.uint32)
+        rs = state_mod.RenderState(flags=flags, om=om_state, tex=tex_state,
+                                   scissor=(0, 0, width, height))
+        draws.append((rs, texels, binned))
+    return draws
+
+
+def compile_frame(trace: cgltrace.CGLTrace, width: int, height: int,
+                  tile_logsize: int = C.RASTER_TILE_LOGSIZE):
+    """Build a single-dispatch whole-frame render function.
+
+    All drawcalls are unrolled inside ONE jit (per-draw states are static),
+    so a frame costs one device dispatch — the TPU analog of the
+    reference's single vx_start per draw amortized over the full frame.
+    Returns (frame_fn, arrays): frame_fn(arrays) -> (H, W) uint32 ARGB.
+    """
+    import jax
+
+    draws = prepare_drawcalls(trace, width, height, tile_logsize)
+    statics = tuple((rs, b.tile_logsize) for rs, _, b in draws)
+    arrays = tuple(
+        (texels, jnp.asarray(b.edges), jnp.asarray(b.attribs),
+         jnp.asarray(b.tile_pids), jnp.asarray(b.tile_xy))
+        for _, texels, b in draws
+    )
+    ts = 1 << tile_logsize
+    Hp = -(-height // ts) * ts
+    Wp = -(-width // ts) * ts
+
+    @jax.jit
+    def frame(arrays):
+        fbc = jnp.full((Hp, Wp), CLEAR_COLOR, jnp.uint32)
+        fbd = jnp.full((Hp, Wp), CLEAR_DEPTH, jnp.uint32)
+        for (rs, tls), (texels, e, a, tp, txy) in zip(statics, arrays):
+            fbc, fbd = renderer._render_drawcall_jit(
+                rs, texels, e, a, tp, txy, fbc, fbd, tls)
+        return fbc[:height, :width]
+
+    return frame, arrays
