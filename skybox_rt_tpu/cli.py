@@ -1,0 +1,154 @@
+"""Framework CLI — the simx/draw3d host analog (SURVEY §2.4 S12, §2.2 H6).
+
+The reference ships a standalone simulator CLI (sim/simx/main.cpp:77-126)
+and per-app hosts with getopt flags (tests/regression/draw3d/main.cpp:84-136:
+-t trace -w width -h height -o output.png -r reference.png -k tilelogsize).
+This module provides the same surface:
+
+  python -m skybox_rt_tpu render -t tekkaman -w 256 -H 256 -o out.png \
+      [-r golden.png] [-k 5] [--mode immediate|deferred] [--perf]
+  python -m skybox_rt_tpu bench  [-t tekkaman] [-w 1024] [--frames 20]
+  python -m skybox_rt_tpu info
+
+`render` prints the reference's frame report ("Total elapsed time ..."
+draw3d/main.cpp:360-378) and PASSED/FAILED on golden compare (main.cpp:505-514).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _cmd_render(args) -> int:
+    import jax
+
+    from .core import constants as C
+    from .geom import cgltrace
+    from .ref import driver
+    from .runtime.device import Device
+    from .runtime import perf as perf_mod
+    from .utils import image
+
+    path = args.trace if args.trace.endswith(".cgltrace") \
+        else cgltrace.trace_path(args.trace)
+    trace = cgltrace.load_cached(path)
+
+    dev = Device()
+    stats = driver.FrameStats()
+
+    t0 = time.perf_counter()
+    fb = driver.render_trace(
+        trace, args.width, args.height,
+        tile_logsize=args.tile_logsize, stats=stats, mode=args.mode)
+    jax.block_until_ready(fb)
+    elapsed_ms = (time.perf_counter() - t0) * 1e3
+
+    # the reference's per-frame report (draw3d/main.cpp:360-378);
+    # cycles/instrs don't exist under XLA, so report draw/prim/tile counts
+    print(f"Total elapsed time: {elapsed_ms:.0f} ms")
+    print(f"drawcalls={stats.drawcalls}, prims={stats.prims_binned}, "
+          f"tiles={stats.tiles}")
+
+    if args.perf:
+        dev.perf.count("drawcalls", stats.drawcalls)
+        dev.perf.count("prims_binned", stats.prims_binned)
+        dev.perf.count("tiles", stats.tiles)
+        dev.perf.add_time("frame_ms", elapsed_ms)
+        dev.dump_perf()
+
+    if args.output:
+        image.save_framebuffer_png(args.output, fb)
+
+    if args.reference:
+        errors, maxdiff = image.compare_to_golden(fb, args.reference)
+        if errors == 0:
+            print("PASSED!")
+            return 0
+        print(f"FAILED! - {errors} errors (max channel diff {maxdiff})")
+        return 1
+    return 0
+
+
+def _cmd_bench(args) -> int:
+    import jax
+
+    from .geom import cgltrace
+    from .ref import driver
+
+    trace = cgltrace.load_cached(cgltrace.trace_path(args.trace))
+    frame, arrays = driver.compile_frame(trace, args.width, args.width)
+    fb = frame(arrays)
+    jax.block_until_ready(fb)
+
+    t0 = time.perf_counter()
+    for _ in range(args.frames):
+        fb = frame(arrays)
+    jax.block_until_ready(fb)
+    elapsed = time.perf_counter() - t0
+
+    pixels = args.width * args.width * len(arrays) * args.frames
+    mpix_s = pixels / elapsed / 1e6
+    print(json.dumps({
+        "scene": args.trace, "size": args.width, "frames": args.frames,
+        "ms_per_frame": elapsed / args.frames * 1e3,
+        "mpix_s": mpix_s,
+    }))
+    return 0
+
+
+def _cmd_info(args) -> int:
+    from .runtime.device import Device
+
+    caps = Device().caps
+    print(json.dumps({
+        "platform": caps.platform,
+        "num_devices": caps.num_devices,
+        "device_kind": caps.device_kind,
+        "memory_per_device": caps.memory_per_device,
+        "isa": {  # VX_ISA_EXT_RASTER/TEX/OM analog (vortex.h:44-52)
+            "raster": caps.has_raster, "tex": caps.has_tex,
+            "om": caps.has_om, "rt": caps.has_rt,
+        },
+    }))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="skybox_rt_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("render", help="render a cgltrace scene")
+    r.add_argument("-t", "--trace", required=True,
+                   help="scene name (tekkaman) or path to .cgltrace")
+    r.add_argument("-w", "--width", type=int, default=256)
+    r.add_argument("-H", "--height", type=int, default=256)
+    r.add_argument("-o", "--output", default=None, help="output PNG")
+    r.add_argument("-r", "--reference", default=None,
+                   help="golden PNG to compare against (tolerance 1)")
+    r.add_argument("-k", "--tile-logsize", type=int, default=5)
+    r.add_argument("--mode", choices=("immediate", "deferred"),
+                   default="immediate")
+    r.add_argument("--perf", action="store_true",
+                   help="dump perf counters (vx_dump_perf analog)")
+    r.set_defaults(fn=_cmd_render)
+
+    b = sub.add_parser("bench", help="throughput benchmark")
+    b.add_argument("-t", "--trace", default="tekkaman")
+    b.add_argument("-w", "--width", type=int, default=512)
+    b.add_argument("--frames", type=int, default=20)
+    b.set_defaults(fn=_cmd_bench)
+
+    i = sub.add_parser("info", help="device capabilities (vx_dev_caps)")
+    i.set_defaults(fn=_cmd_info)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,122 @@
+"""Host runtime layer tests (SURVEY §2.2 H1/H5/H6 + §2.4 S12).
+
+Mirrors the reference's host-side unit tests: the vx_malloc allocator test
+(tests/unittest/vx_malloc/main.cpp) exercises alloc + access flags; here the
+Buffer access-flag checks carry that concept (ACL enforcement,
+sim/common/mem.h:159-176).  The CLI test is the blackbox.sh run-an-app check.
+"""
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from skybox_rt_tpu.runtime.device import Buffer, Device, DeviceError
+from skybox_rt_tpu.runtime.perf import PerfCounters
+
+
+def test_device_caps():
+    caps = Device().caps
+    assert caps.num_devices >= 1
+    assert caps.has_raster and caps.has_tex and caps.has_om and caps.has_rt
+
+
+def test_upload_download_roundtrip():
+    dev = Device()
+    host = np.arange(64, dtype=np.uint32).reshape(8, 8)
+    buf = dev.upload(host, access=Buffer.READ | Buffer.WRITE)
+    out = dev.download(buf)
+    np.testing.assert_array_equal(out, host)
+    assert dev.perf.counters["host_to_device_bytes"] == host.nbytes
+
+
+def test_readonly_buffer_rejects_write():
+    """ACL enforcement: VX_MEM_READ buffer rejects writes, like the
+    reference aborts on an ACL violation (runtime/simx/vortex.cpp:143-145)."""
+    dev = Device()
+    buf = dev.upload(np.zeros(4, np.float32), access=Buffer.READ)
+    with pytest.raises(DeviceError):
+        buf.write(np.ones(4, np.float32))
+
+
+def test_buffer_write_shape_check():
+    dev = Device()
+    buf = dev.upload(np.zeros(4, np.float32), access=Buffer.WRITE)
+    with pytest.raises(DeviceError):
+        buf.write(np.zeros(8, np.float32))
+    buf.write(np.ones(4, np.float32))
+    np.testing.assert_array_equal(dev.download(buf), np.ones(4, np.float32))
+
+
+def test_device_run_counts_launch():
+    dev = Device()
+    buf = dev.upload(np.arange(8, dtype=np.float32))
+    out = dev.run(lambda x: x * 2, buf.array)
+    np.testing.assert_array_equal(np.asarray(out), np.arange(8) * 2.0)
+    assert dev.perf.counters["kernel_launches"] == 1
+    assert dev.perf.times_ms["device_ms"] > 0
+
+
+def test_perf_counters_merge_and_dump(capsys):
+    a, b = PerfCounters(), PerfCounters()
+    a.count("x", 3)
+    b.count("x", 4)
+    b.add_time("t_ms", 1.5)
+    a.merge(b)
+    assert a.as_dict()["x"] == 7
+    a.dump()
+    out = capsys.readouterr().out
+    assert "x" in out and "t_ms" in out
+
+
+def test_drawcall_traffic_model():
+    """Analytic traffic model ≅ S6/S7/S8 mem traces: sane, nonzero."""
+    from skybox_rt_tpu.geom import binning, cgltrace
+    from skybox_rt_tpu.core import state as state_mod
+    from skybox_rt_tpu.runtime import perf as perf_mod
+
+    trace = cgltrace.load_cached(cgltrace.trace_path("triangle"))
+    dc = trace.drawcalls[0]
+    binned = binning.bin_drawcall(
+        dc.pos, dc.indices, dc.color, dc.texcoord, 64, 64,
+        dc.near, dc.far, 5)
+    rs = state_mod.RenderState(
+        flags=state_mod.make_shader_flags(
+            dc.states.depth_test, dc.states.color_enabled,
+            dc.states.texture_enabled, dc.states.texture_envmode),
+        om=state_mod.make_om_state(dc.states),
+        tex=None, scissor=(0, 0, 64, 64))
+    t = perf_mod.drawcall_traffic(binned, rs)
+    assert t["raster_mem_reads_bytes"] > 0
+    assert t["prims"] == binned.num_prims
+    assert t["fragments_upper_bound"] >= 0
+
+
+def _run_cli(*argv):
+    return subprocess.run(
+        [sys.executable, "-m", "skybox_rt_tpu", *argv],
+        capture_output=True, text=True, timeout=300,
+        cwd="/root/repo",
+        env={"PATH": "/usr/bin:/bin:/usr/local/bin",
+             "JAX_PLATFORMS": "cpu", "HOME": "/root"},
+    )
+
+
+def test_cli_info():
+    r = _run_cli("info")
+    assert r.returncode == 0, r.stderr
+    caps = json.loads(r.stdout)
+    assert caps["isa"]["raster"] and caps["num_devices"] >= 1
+
+
+def test_cli_render_golden(tmp_path):
+    out = str(tmp_path / "triangle.png")
+    r = _run_cli(
+        "render", "-t", "triangle", "-w", "16", "-H", "16",
+        "-o", out, "-r",
+        "/root/reference/tests/regression/draw3d/triangle_ref_16.png",
+        "--perf")
+    assert r.returncode == 0, r.stderr + r.stdout
+    assert "PASSED!" in r.stdout
+    assert "PERF:" in r.stdout
