@@ -156,9 +156,11 @@ def _shade_pixels(render_state, texels, edges, attribs, win, xs, ys):
     return interp_mod.to_rgba8(r, g, b, a_)
 
 
-@functools.partial(jax.jit, static_argnames=("render_state", "tile_logsize"))
+@functools.partial(jax.jit, static_argnames=("render_state", "tile_logsize",
+                                             "visibility"))
 def _render_deferred_jit(render_state, texels, edges, attribs, zattr,
-                         tile_pids, tile_xy, fb_color, fb_ds, tile_logsize):
+                         tile_pids, tile_xy, fb_color, fb_ds, tile_logsize,
+                         visibility="xla"):
     ts = 1 << tile_logsize
     Hp, Wp = fb_color.shape
     gh, gw = Hp // ts, Wp // ts
@@ -169,8 +171,14 @@ def _render_deferred_jit(render_state, texels, edges, attribs, zattr,
     ty = tile_xy[:, 1]
     sel_d = fbd_t[ty, tx]
 
-    dsw, win = _visibility_tiles(render_state, edges, zattr, tile_pids,
-                                 tile_xy, sel_d, tile_logsize)
+    if visibility == "xla":
+        dsw, win = _visibility_tiles(render_state, edges, zattr, tile_pids,
+                                     tile_xy, sel_d, tile_logsize)
+    else:  # "pallas" | "pallas_interpret": the TPU kernel (ops.pallas_raster)
+        from . import pallas_raster
+        dsw, win = pallas_raster.visibility_tiles(
+            render_state, edges, zattr, tile_pids, tile_xy, sel_d,
+            tile_logsize, interpret=(visibility == "pallas_interpret"))
 
     # pass 2 over the selected tiles' pixels
     origins = tile_xy * ts
@@ -198,8 +206,12 @@ def _render_deferred_jit(render_state, texels, edges, attribs, zattr,
 
 
 def render_drawcall(render_state: RenderState, texels, binned,
-                    fb_color, fb_ds):
+                    fb_color, fb_ds, visibility="xla"):
     """Deferred when exact-equivalent, immediate otherwise."""
+    if visibility != "xla":
+        from . import pallas_raster
+        if not pallas_raster.supported(render_state, binned.tile_logsize):
+            visibility = "xla"
     if not deferrable(render_state):
         return immediate.render_drawcall(render_state, texels, binned,
                                          fb_color, fb_ds)
@@ -211,4 +223,5 @@ def render_drawcall(render_state: RenderState, texels, binned,
         jnp.asarray(binned.attribs[:, 0]),
         jnp.asarray(binned.tile_pids), jnp.asarray(binned.tile_xy),
         fb_color, fb_ds, binned.tile_logsize,
+        visibility=visibility,
     )

@@ -1,0 +1,216 @@
+"""Pallas TPU visibility kernel — the raster-unit hot op (SURVEY §2.1 B2).
+
+The reference's raster unit walks tiles recursively and emits 2×2 quads
+(graphics.cpp:715-843, hw/rtl/raster/VX_raster_te.sv).  On TPU the whole
+tile advances in lockstep on the VPU: each grid program owns one binned
+tile, its ts×ts pixels laid out as a (ts*ts/128, 128) block — the native
+(sublane, lane) shape — and scans the tile's primitives sequentially,
+carrying (depth-stencil word, winning prim slot) per pixel exactly like
+the deferred pass 1 (ops.deferred._visibility_tiles, its parity twin).
+
+TPU-native design choices:
+  * per-tile primitive records are pre-gathered by XLA into a dense
+    (T, M, 16) i32 array, so the kernel body does ZERO dynamic gathers —
+    each step reads one 16-lane record row and broadcasts scalars
+  * edge evaluation is incremental: base = a*ox + b*oy + c computed on
+    scalars, plus constant a*XL + b*YL lane grids (2 vector MULs/edge
+    instead of 3)
+  * the fixed-point interpolation (48-bit product via 16-bit limbs,
+    core.fixed.imadd24) and the float32 barycentric reciprocal
+    (draw3d/kernel.cpp:25-35) run unchanged inside the kernel — int32/f32
+    VPU ops only
+  * exact-int semantics: output is bit-identical to the XLA oracle, so
+    the golden-image tests hold for this path too
+
+Layout of one primitive record (lane index in the (…, 16) row):
+   0..8   edge matrix [e][a, b, c]        int32 fixed16
+   9..11  z attribute plane (zx, zy, zc)  int32 fixed24
+   12     valid flag (1/0)
+   13..15 zero padding (lane alignment)
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import fixed
+from ..om import depth_stencil as ds_mod
+from ..core import constants as C
+
+I32 = jnp.int32
+U32 = jnp.uint32
+LANES = 128
+
+
+def pack_prim_records(edges, zattr, tile_pids):
+    """XLA pre-gather: (P,3,3) edges + (P,3) zattr + (T,M) pids ->
+    (T, M, 16) i32 per-tile primitive records."""
+    P = edges.shape[0]
+    rec = jnp.concatenate(
+        [edges.reshape(P, 9).astype(I32),
+         zattr.astype(I32).reshape(P, 3),
+         jnp.zeros((P, 4), I32)],
+        axis=1)                                     # (P, 16)
+    p = jnp.maximum(tile_pids, 0)
+    out = rec[p]                                    # (T, M, 16)
+    valid = (tile_pids >= 0).astype(I32)
+    return out.at[:, :, 12].set(valid)
+
+
+def _make_kernel(depth_en: bool, depth_write: bool, depth_func: int,
+                 shade_z: bool, tile_logsize: int, scissor, num_prims: int):
+    ts = 1 << tile_logsize
+    ns = (ts * ts) // LANES
+    left, top, right, bottom = scissor
+
+    def kernel(origin_ref, prim_ref, fbds_ref, dsw_ref, win_ref):
+        # constant lane grids: local x/y per flattened pixel index
+        idx = (jax.lax.broadcasted_iota(I32, (ns, LANES), 0) * LANES
+               + jax.lax.broadcasted_iota(I32, (ns, LANES), 1))
+        xl_c = jnp.bitwise_and(idx, ts - 1)
+        yl_c = jnp.right_shift(idx, tile_logsize)
+
+        t = pl.program_id(0)
+        ox = origin_ref[t, 0]
+        oy = origin_ref[t, 1]
+        xs = xl_c + ox
+        ys = yl_c + oy
+        in_scissor = ((xs >= left) & (xs < right)
+                      & (ys >= top) & (ys < bottom))
+
+        dsw_ref[0] = fbds_ref[0]
+        win_ref[0] = jnp.full((ns, LANES), -1, I32)
+
+        def step(i, _):
+            r = prim_ref[0, i]                       # (16,) record row
+            valid = r[12] > 0
+
+            # incremental edge eval: base scalar + a*xl + b*yl lane grids
+            def edge(k):
+                a, b, c = r[3 * k], r[3 * k + 1], r[3 * k + 2]
+                base = a * ox + b * oy + c
+                return a * xl_c + b * yl_c + base
+
+            e0 = edge(0)
+            e1 = edge(1)
+            e2 = edge(2)
+            cov = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+                   & in_scissor & valid)
+
+            if depth_en:
+                # GRADIENTS (draw3d/kernel.cpp:25-35): f32 barycentrics
+                f0 = fixed.fixed_to_float(e0, fixed.ATTR_FRAC)
+                f1 = fixed.fixed_to_float(e1, fixed.ATTR_FRAC)
+                f2 = fixed.fixed_to_float(e2, fixed.ATTR_FRAC)
+                rcp = jnp.float32(1.0) / ((f0 + f1) + f2)
+                dx = fixed.to_fixed_x86(rcp * f0, fixed.ATTR_FRAC)
+                dy = fixed.to_fixed_x86(rcp * f1, fixed.ATTR_FRAC)
+                if shade_z:
+                    tmp = fixed.imadd24(r[9], dx, r[11])
+                    z = fixed.imadd24(r[10], dy, tmp)
+                else:
+                    z = jnp.zeros_like(dx)           # shader DEFAULTS z=0
+                depth = jnp.bitwise_and(z.astype(U32), C.OM_DEPTH_MASK)
+                dsw = dsw_ref[0]
+                stored = jnp.bitwise_and(dsw, C.OM_DEPTH_MASK)
+                passed = ds_mod.compare(depth_func, depth, stored)
+                upd = cov & passed
+                if depth_write:
+                    dsw_ref[0] = jnp.where(
+                        upd,
+                        jnp.bitwise_or(
+                            jnp.bitwise_and(
+                                dsw, ~jnp.uint32(C.OM_DEPTH_MASK)),
+                            depth),
+                        dsw)
+            else:
+                upd = cov
+            win_ref[0] = jnp.where(upd, i, win_ref[0])
+            return 0
+
+        jax.lax.fori_loop(0, num_prims, step, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("depth_en", "depth_write", "depth_func", "shade_z",
+                     "tile_logsize", "scissor", "interpret"))
+def _visibility_call(prim_records, fb_ds_tiles, origins, *, depth_en,
+                     depth_write, depth_func, shade_z, tile_logsize,
+                     scissor, interpret):
+    T, M, _ = prim_records.shape
+    ts = 1 << tile_logsize
+    ns = (ts * ts) // LANES
+    fb_flat = fb_ds_tiles.reshape(T, ns, LANES)
+
+    kernel = _make_kernel(depth_en, depth_write, depth_func, shade_z,
+                          tile_logsize, scissor, M)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,           # origins (T, 2) live in SMEM
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, M, 16), lambda t, _: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ns, LANES), lambda t, _: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, ns, LANES), lambda t, _: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ns, LANES), lambda t, _: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    dsw, win = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, ns, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((T, ns, LANES), jnp.int32),
+        ),
+        interpret=interpret,
+    )(origins.astype(I32), prim_records, fb_flat)
+
+    return (dsw.reshape(T, ts, ts), win.reshape(T, ts, ts))
+
+
+def supported(render_state, tile_logsize: int) -> bool:
+    """The Pallas path needs >=128 pixels per tile (lane alignment)."""
+    ts = 1 << tile_logsize
+    return (ts * ts) % LANES == 0
+
+
+def visibility_tiles(render_state, edges, zattr, tile_pids, tile_xy,
+                     fb_ds_tiles, tile_logsize, interpret=False):
+    """Drop-in replacement for ops.deferred._visibility_tiles, returning
+    (dsw (T,ts,ts) u32, winner pid (T,ts,ts) i32 with -1 = none)."""
+    om = render_state.om
+    depth_en = om.ds.depth_enabled
+    recs = pack_prim_records(jnp.asarray(edges), jnp.asarray(zattr),
+                             jnp.asarray(tile_pids))
+    ts = 1 << tile_logsize
+    origins = jnp.asarray(tile_xy, I32) * ts
+    dsw, win_slot = _visibility_call(
+        recs, fb_ds_tiles, origins,
+        depth_en=depth_en,
+        depth_write=depth_en and om.depth_writemask,
+        depth_func=om.ds.depth_func,
+        shade_z=render_state.flags.depth_enabled,
+        tile_logsize=tile_logsize,
+        scissor=tuple(render_state.scissor),
+        interpret=interpret,
+    )
+    # slot -> pid (slots are per-tile indices into tile_pids)
+    slot = jnp.maximum(win_slot, 0)
+    pid = jnp.take_along_axis(
+        jnp.asarray(tile_pids), slot.reshape(slot.shape[0], -1), axis=1
+    ).reshape(win_slot.shape)
+    win = jnp.where(win_slot >= 0, pid, -1)
+    return dsw, win

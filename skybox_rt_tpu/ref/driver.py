@@ -76,6 +76,12 @@ def render_trace(trace: cgltrace.CGLTrace, width: int, height: int,
     if mode == "deferred":
         from ..ops import deferred as deferred_mod
         render_dc = deferred_mod.render_drawcall
+    elif mode in ("pallas", "pallas_interpret"):
+        import functools
+
+        from ..ops import deferred as deferred_mod
+        render_dc = functools.partial(
+            deferred_mod.render_drawcall, visibility=mode)
     else:
         render_dc = renderer.render_drawcall
     fbc = np.full((height, width), CLEAR_COLOR, np.uint32)
