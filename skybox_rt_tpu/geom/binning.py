@@ -55,7 +55,32 @@ def bin_drawcall(pos, indices, colors, texcoords, width, height, near, far,
     pos (V,4) f32 clip space; indices (P,3) i32; colors (V,4); texcoords (V,2).
     Returns None when no primitive survives rejection (host then skips the
     draw, draw3d/main.cpp:192-193).
+
+    Dispatches to the native C++ engine (native/binning.cpp) when built —
+    the reference's host tier is native C++ too — with this numpy
+    implementation as the behavioral oracle and fallback (SKYBOX_NATIVE=0
+    forces it).
     """
+    from . import native as native_mod
+    res = native_mod.bin_drawcall_native(
+        pos, indices, colors, texcoords, width, height, near, far,
+        tile_logsize, pad_multiple)
+    if res == "empty":
+        return None
+    if res is not None:
+        edges, attribs, tile_xy, tile_pids, tile_cnt = res
+        return BinnedDrawcall(
+            edges=edges, attribs=attribs, tile_xy=tile_xy,
+            tile_pids=tile_pids, tile_pid_count=tile_cnt,
+            tile_logsize=tile_logsize, num_prims=edges.shape[0])
+    return bin_drawcall_py(pos, indices, colors, texcoords, width, height,
+                           near, far, tile_logsize, pad_multiple)
+
+
+def bin_drawcall_py(pos, indices, colors, texcoords, width, height, near,
+                    far, tile_logsize=5, pad_multiple=8
+                    ) -> BinnedDrawcall | None:
+    """Pure-numpy binning — the oracle the native engine is tested against."""
     pos = np.asarray(pos, F32)
     indices = np.asarray(indices, np.int64)
     if indices.size == 0:
