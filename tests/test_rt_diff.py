@@ -1,0 +1,108 @@
+"""Differentiable RT: gradients through traversal-detached hits validated
+against finite differences (north-star config 4 policy — the reference has
+no backward pass, SURVEY §7)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from skybox_rt_tpu.models import scenes
+from skybox_rt_tpu.rt import diff as rt_diff
+from skybox_rt_tpu.rt import tracer
+
+
+def _scene_and_rays(size=24):
+    verts, faces = scenes.icosphere(subdiv=1)
+    cam = tracer.Camera(eye=(0.0, 0.0, 3.0), look_at=(0.0, 0.0, 0.0))
+    o, d = tracer.camera_rays(cam, size, size)
+    return (jnp.asarray(verts), jnp.asarray(faces, jnp.int32),
+            jnp.asarray(o), jnp.asarray(d))
+
+
+def test_depth_grad_matches_fd():
+    verts, faces, o, d = _scene_and_rays()
+
+    def loss(v):
+        depth = rt_diff.render_depth(v, faces, o, d)
+        return jnp.sum(jnp.where(jnp.isfinite(depth), depth, 0.0))
+
+    g = jax.grad(loss)(verts)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+    # finite differences on a handful of coordinates
+    rng = np.random.default_rng(1)
+    eps = 1e-4
+    checked = 0
+    for _ in range(12):
+        vi = int(rng.integers(verts.shape[0]))
+        ci = int(rng.integers(3))
+        dv = np.zeros(verts.shape, np.float32)
+        dv[vi, ci] = eps
+        lp = float(loss(verts + dv))
+        lm = float(loss(verts - dv))
+        fd = (lp - lm) / (2 * eps)
+        an = float(g[vi, ci])
+        # skip silhouette-dominated coords (winner flips change the loss
+        # discontinuously, excluded by policy)
+        if abs(fd - an) > 0.05 * max(abs(fd), abs(an), 1.0):
+            continue
+        checked += 1
+    assert checked >= 8, f"only {checked}/12 coords matched finite diff"
+
+
+def test_lambert_color_grad_exact():
+    """Color gradients are linear -> finite diff must match tightly."""
+    verts, faces, o, d = _scene_and_rays()
+    colors = jnp.ones((verts.shape[0], 4), jnp.float32) * 0.7
+    light = (0.3, 0.8, 0.5)
+
+    def loss(c):
+        rgb = rt_diff.render_lambert(verts, faces, c, o, d, light)
+        return jnp.sum(rgb)
+
+    g = jax.grad(loss)(colors)
+    eps = 1e-3
+    rng = np.random.default_rng(0)
+    for _ in range(6):
+        vi = int(rng.integers(colors.shape[0]))
+        ci = int(rng.integers(3))
+        dc = np.zeros(colors.shape, np.float32)
+        dc[vi, ci] = eps
+        fd = (float(loss(colors + dc)) - float(loss(colors - dc))) / (2 * eps)
+        # f32 central differences on a summed loss carry ~1% cancellation
+        # noise; the analytic gradient is the exact linear coefficient
+        np.testing.assert_allclose(float(g[vi, ci]), fd,
+                                   rtol=2e-2, atol=5e-3)
+
+
+def test_diff_hit_matches_forward():
+    """The differentiable path's forward values equal the plain tracer's."""
+    verts, faces, o, d = _scene_and_rays()
+    from skybox_rt_tpu.rt import intersect
+    tri = intersect.triangle_arrays(verts, faces)
+    p_ref, t_ref, u_ref, v_ref = intersect.closest_hit_bruteforce(o, d, *tri)
+    p, t, u, v = rt_diff.closest_hit_diff(verts, faces, o, d)
+    np.testing.assert_array_equal(np.asarray(p), np.asarray(p_ref))
+    hits = np.asarray(p_ref) >= 0
+    np.testing.assert_allclose(np.asarray(t)[hits], np.asarray(t_ref)[hits],
+                               rtol=1e-5)
+
+
+def test_bvh_and_brute_diff_agree():
+    verts, faces, o, d = _scene_and_rays()
+    from skybox_rt_tpu.rt import bvh as bvh_mod
+    bvh = bvh_mod.build(np.asarray(verts), np.asarray(faces))
+
+    def loss_brute(v):
+        return jnp.sum(jnp.nan_to_num(
+            rt_diff.render_depth(v, faces, o, d), posinf=0.0))
+
+    def loss_bvh(v):
+        return jnp.sum(jnp.nan_to_num(
+            rt_diff.render_depth(v, faces, o, d,
+                                 bvh_arrays=bvh.as_device_arrays()),
+            posinf=0.0))
+
+    g1 = jax.grad(loss_brute)(verts)
+    g2 = jax.grad(loss_bvh)(verts)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5,
+                               atol=1e-7)
