@@ -44,6 +44,14 @@ class BVH:
     node_first: np.ndarray
     node_count: np.ndarray
     prim_order: np.ndarray
+    # preorder + escape-link layout for the stackless lockstep traversal
+    # (computed lazily): node i's first child is i+1; `escape[i]` is the
+    # preorder index to jump to when i's subtree is done (N = exit)
+    pre_min: np.ndarray = None
+    pre_max: np.ndarray = None
+    pre_first: np.ndarray = None
+    pre_count: np.ndarray = None
+    pre_escape: np.ndarray = None
 
     @property
     def num_nodes(self):
@@ -53,6 +61,46 @@ class BVH:
         return tuple(jnp.asarray(a) for a in (
             self.node_min, self.node_max, self.node_left, self.node_right,
             self.node_first, self.node_count, self.prim_order))
+
+    def build_preorder(self):
+        """Re-layout nodes in preorder with escape links (host, once)."""
+        if self.pre_escape is not None:
+            return self
+        N = self.num_nodes
+        sizes = np.ones(N, np.int64)
+        # postorder subtree sizes (children were appended after parents in
+        # build(), so a reverse index sweep sees children before parents)
+        internal = self.node_count == 0
+        for i in range(N - 1, -1, -1):
+            if internal[i]:
+                sizes[i] = 1 + sizes[self.node_left[i]] \
+                             + sizes[self.node_right[i]]
+        perm = np.empty(N, np.int64)        # preorder position -> old index
+        escape = np.empty(N, np.int32)
+        stack = [(0, N)]
+        pos = 0
+        while stack:
+            old, esc = stack.pop()
+            perm[pos] = old
+            escape[pos] = esc
+            if internal[old]:
+                l, r = self.node_left[old], self.node_right[old]
+                right_pos = pos + 1 + sizes[l]
+                stack.append((r, esc))          # popped after left subtree
+                stack.append((l, right_pos))    # left is next (pos + 1)
+            pos += 1
+        self.pre_min = self.node_min[perm]
+        self.pre_max = self.node_max[perm]
+        self.pre_first = self.node_first[perm]
+        self.pre_count = self.node_count[perm]
+        self.pre_escape = escape
+        return self
+
+    def as_stackless_arrays(self):
+        self.build_preorder()
+        return tuple(jnp.asarray(a) for a in (
+            self.pre_min, self.pre_max, self.pre_first, self.pre_count,
+            self.pre_escape, self.prim_order))
 
 
 def build(verts: np.ndarray, faces: np.ndarray,
@@ -200,9 +248,95 @@ def closest_hit(bvh_arrays, tri_arrays, orig, direction,
     return jax.vmap(one_ray)(orig, direction)
 
 
+def closest_hit_stackless(stackless_arrays, tri_arrays, orig, direction,
+                          t_min=1e-4, t_max=jnp.inf,
+                          leaf_size: int = LEAF_SIZE):
+    """TPU-native lockstep traversal: preorder + escape links.
+
+    Per-ray state is ONE int32 node pointer (no stacks): at an interior
+    node whose box the ray hits, descend to node+1 (preorder first child);
+    otherwise jump to escape[node].  All rays advance together each
+    iteration of a single while_loop — dense (R, ...) gathers + masked
+    Möller–Trumbore, exactly the shape the VPU wants (the SIMT-divergence-
+    as-predication rule of SURVEY §2.7 applied to traversal).
+
+    stackless_arrays: BVH.as_stackless_arrays(); rays (R, 3).
+    Returns (prim (R,) i32 [-1 miss], t, u, v).
+    """
+    nmin, nmax, nfirst, ncount, escape, prim_order = stackless_arrays
+    v0, e1, e2 = tri_arrays
+    N = nmin.shape[0]
+    P = prim_order.shape[0]
+    R = orig.shape[0]
+
+    safe = jnp.abs(direction) > 1e-12
+    inv_d = jnp.where(safe, 1.0 / jnp.where(safe, direction, 1.0), 1e30)
+
+    ks = jnp.arange(leaf_size)
+
+    def cond(state):
+        node = state[0]
+        return jnp.any(node < N)
+
+    def body(state):
+        node, best_t, best_p, best_u, best_v = state
+        active = node < N
+        nc = jnp.minimum(node, N - 1)
+
+        bmin = nmin[nc]                    # (R, 3) gathers
+        bmax = nmax[nc]
+        t0 = (bmin - orig) * inv_d
+        t1 = (bmax - orig) * inv_d
+        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        hit_box = (jnp.maximum(tn, 0.0) <= jnp.minimum(tf, best_t)) & active
+
+        cnt = ncount[nc]
+        is_leaf = cnt > 0
+
+        # leaf primitive tests, masked dense (R, leaf_size)
+        first = nfirst[nc]
+        pids = prim_order[jnp.clip(first[:, None] + ks[None, :], 0, P - 1)]
+        pm = hit_box[:, None] & is_leaf[:, None] & (ks[None, :] < cnt[:, None])
+        h, t, u, v = intersect.moller_trumbore(
+            orig[:, None], direction[:, None],
+            v0[pids], e1[pids], e2[pids], t_min, jnp.inf)
+        h = h & pm & (t < best_t[:, None])
+        t_m = jnp.where(h, t, jnp.inf)
+        k_best = jnp.argmin(t_m, axis=1)
+        rr = jnp.arange(R)
+        cand_t = t_m[rr, k_best]
+        better = cand_t < best_t
+        best_t = jnp.where(better, cand_t, best_t)
+        best_p = jnp.where(better, pids[rr, k_best], best_p)
+        best_u = jnp.where(better, u[rr, k_best], best_u)
+        best_v = jnp.where(better, v[rr, k_best], best_v)
+
+        descend = hit_box & ~is_leaf
+        nxt = jnp.where(descend, node + 1, escape[nc])
+        node = jnp.where(active, nxt, N)
+        return (node, best_t, best_p, best_u, best_v)
+
+    state = (jnp.zeros((R,), I32),
+             jnp.full((R,), t_max, F32),
+             jnp.full((R,), -1, I32),
+             jnp.zeros((R,), F32), jnp.zeros((R,), F32))
+    _, best_t, best_p, best_u, best_v = jax.lax.while_loop(cond, body, state)
+    return (best_p, jnp.where(best_p >= 0, best_t, jnp.inf),
+            best_u, best_v)
+
+
 def any_hit(bvh_arrays, tri_arrays, orig, direction, t_min=1e-4, t_max=1.0,
             leaf_size: int = LEAF_SIZE, stack_depth: int = STACK_DEPTH):
     """Occlusion traversal (shadow rays): early-out on first hit."""
     prim, t, _, _ = closest_hit(bvh_arrays, tri_arrays, orig, direction,
                                 t_min, t_max, leaf_size, stack_depth)
+    return prim >= 0
+
+
+def any_hit_stackless(stackless_arrays, tri_arrays, orig, direction,
+                      t_min=1e-4, t_max=1.0, leaf_size: int = LEAF_SIZE):
+    prim, _, _, _ = closest_hit_stackless(
+        stackless_arrays, tri_arrays, orig, direction, t_min, t_max,
+        leaf_size)
     return prim >= 0

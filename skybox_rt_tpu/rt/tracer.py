@@ -123,13 +123,16 @@ def make_intersectors(scene: RTScene, cfg: RTConfig):
     tri = intersect.triangle_arrays(jnp.asarray(scene.verts),
                                     jnp.asarray(scene.faces))
     if cfg.use_bvh:
-        bvh_arr = scene.bvh.as_device_arrays()
+        # stackless lockstep traversal — the TPU-native layout (the
+        # per-ray-stack variant compiles poorly on real hardware)
+        bvh_arr = scene.bvh.as_stackless_arrays()
 
         def closest(o, d, t_max=jnp.inf):
-            return bvh_mod.closest_hit(bvh_arr, tri, o, d, t_max=t_max)
+            return bvh_mod.closest_hit_stackless(bvh_arr, tri, o, d,
+                                                 t_max=t_max)
 
         def occluded(o, d, t_max):
-            return bvh_mod.any_hit(bvh_arr, tri, o, d, t_max=t_max)
+            return bvh_mod.any_hit_stackless(bvh_arr, tri, o, d, t_max=t_max)
     else:
         def closest(o, d, t_max=jnp.inf):
             return intersect.closest_hit_bruteforce(*((o, d) + tri),

@@ -144,3 +144,47 @@ def test_reflection_bounce():
         scene, cam, tracer.RTConfig(width=48, height=48, bounces=2)))
     assert np.abs(img2 - img0).max() > 0.05
     assert np.isfinite(img2).all()
+
+
+def test_stackless_matches_bruteforce():
+    """Preorder/escape-link lockstep traversal (the TPU deployment path)
+    vs brute force — exact prim agreement."""
+    verts, faces = scenes.icosphere(subdiv=2)
+    bvh = bvh_mod.build(verts, faces)
+    tri = intersect.triangle_arrays(jnp.asarray(verts), jnp.asarray(faces))
+
+    rng = np.random.default_rng(7)
+    R = 1024
+    o = rng.normal(size=(R, 3)).astype(np.float32) * 3.0
+    d = -o + rng.normal(size=(R, 3)).astype(np.float32) * 0.3  # aimed inward
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    p_b, t_b, u_b, v_b = intersect.closest_hit_bruteforce(
+        jnp.asarray(o), jnp.asarray(d), *tri)
+    p_s, t_s, u_s, v_s = bvh_mod.closest_hit_stackless(
+        bvh.as_stackless_arrays(), tri, jnp.asarray(o), jnp.asarray(d))
+    np.testing.assert_array_equal(np.asarray(p_b), np.asarray(p_s))
+    hits = np.asarray(p_b) >= 0
+    assert hits.mean() > 0.5          # the aimed rays mostly hit
+    np.testing.assert_allclose(np.asarray(t_b)[hits], np.asarray(t_s)[hits],
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(u_b)[hits], np.asarray(u_s)[hits],
+                               atol=1e-5)
+
+
+def test_preorder_escape_invariants():
+    verts, faces = scenes.icosphere(subdiv=1)
+    bvh = bvh_mod.build(verts, faces).build_preorder()
+    N = bvh.num_nodes
+    esc = bvh.pre_escape
+    assert esc[0] == N
+    # escape always jumps forward and never past N
+    for i in range(N):
+        assert i < esc[i] <= N
+    # leaf prim ranges cover every prim exactly once
+    covered = []
+    for i in range(N):
+        if bvh.pre_count[i] > 0:
+            f = bvh.pre_first[i]
+            covered.extend(bvh.prim_order[f:f + bvh.pre_count[i]])
+    assert sorted(covered) == list(range(faces.shape[0]))
