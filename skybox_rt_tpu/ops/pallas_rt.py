@@ -1,0 +1,199 @@
+"""Pallas TPU ray-tracing kernel — blocked closest-hit (SURVEY §7 step 5).
+
+Measured on-chip (v5e), the XLA formulations of closest-hit are both wrong
+for the hardware: per-ray BVH traversal is gather-bound (~0.1 M rays/s),
+and all-pairs brute force materializes (R, P) intermediates in HBM
+(~3 M rays/s, OOM at 1M rays).  This kernel is the flash-attention-style
+reformulation: stream triangle blocks through VMEM against a resident ray
+block, keeping the running (best_t, best_prim, u, v) in registers — zero
+HBM intermediates, dense VPU math, no gathers.
+
+Layout:
+  rays      (G, 128) per component — 128 rays per lane row, one grid
+            program per row (G = ceil(R/128))
+  triangles (Pp, 16) f32 records   — [v0.xyz e1.xyz e2.xyz pad...] rows,
+            Pp = P padded to a multiple of 8; each inner step reads an
+            (8, 16) record tile and intersects 8 triangles (sublanes)
+            against 128 rays (lanes) as dense (8, 128) VPU tiles
+
+Whole-array VMEM residency bounds the scene at roughly P <= 15k triangles
+(records pad to 128 lanes); larger scenes use the BVH paths (rt.bvh).
+
+Tie-break note: equal-t hits resolve to the lowest sublane row, which can
+differ from brute-force's lowest-pid rule when pids from different rows
+tie at exactly equal float t; real-scene tests assert exact agreement.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+LANES = 128
+TRI_SUB = 8          # triangles per inner step (sublane dim)
+EPS = 1e-9           # intersect.py MT epsilon
+
+
+def _pad_to(x, m, axis=0, fill=0.0):
+    n = x.shape[axis]
+    target = -(-n // m) * m
+    if target == n:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, target - n)
+    return jnp.pad(x, pad, constant_values=fill)
+
+
+def _make_kernel(num_tri_steps: int, t_min: float):
+    def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               tri_ref,          # (Pp, 16) triangle records
+               tmax_ref,
+               bt_ref, bp_ref, bu_ref, bv_ref):
+        ox = ox_ref[0][None, :]          # (1, 128)
+        oy = oy_ref[0][None, :]
+        oz = oz_ref[0][None, :]
+        dx = dx_ref[0][None, :]
+        dy = dy_ref[0][None, :]
+        dz = dz_ref[0][None, :]
+
+        shape = (TRI_SUB, LANES)
+        best_t = jnp.broadcast_to(tmax_ref[0][None, :], shape)
+        best_p = jnp.full(shape, -1, I32)
+        best_u = jnp.zeros(shape, F32)
+        best_v = jnp.zeros(shape, F32)
+
+        def step(j, carry):
+            best_t, best_p, best_u, best_v = carry
+            row = j * TRI_SUB
+            rec = tri_ref[pl.ds(row, TRI_SUB), :]            # (8, 16)
+            v0x = rec[:, 0:1]
+            v0y = rec[:, 1:2]
+            v0z = rec[:, 2:3]
+            e1x = rec[:, 3:4]
+            e1y = rec[:, 4:5]
+            e1z = rec[:, 5:6]
+            e2x = rec[:, 6:7]
+            e2y = rec[:, 7:8]
+            e2z = rec[:, 8:9]
+
+            # Möller–Trumbore on the (8, 128) tile (intersect.py semantics)
+            pvx = dy * e2z - dz * e2y
+            pvy = dz * e2x - dx * e2z
+            pvz = dx * e2y - dy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            valid = jnp.abs(det) > EPS
+            inv_det = jnp.where(valid, 1.0 / jnp.where(valid, det, 1.0), 0.0)
+
+            tvx = ox - v0x
+            tvy = oy - v0y
+            tvz = oz - v0z
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+            t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+
+            hit = (valid & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                   & (t > t_min) & (t < best_t))
+            prid = row + jax.lax.broadcasted_iota(I32, shape, 0)
+            best_p = jnp.where(hit, prid, best_p)
+            best_u = jnp.where(hit, u, best_u)
+            best_v = jnp.where(hit, v, best_v)
+            best_t = jnp.where(hit, t, best_t)
+            return best_t, best_p, best_u, best_v
+
+        best_t, best_p, best_u, best_v = jax.lax.fori_loop(
+            0, num_tri_steps, step, (best_t, best_p, best_u, best_v))
+
+        # reduce the TRI_SUB sublane candidates per ray (lowest row wins
+        # ties -> matches strict-< accumulation order)
+        win = jnp.argmin(best_t, axis=0)                     # (128,)
+        row_sel = (win[None, :]
+                   == jax.lax.broadcasted_iota(I32, shape, 0))
+        bt_ref[0] = jnp.sum(jnp.where(row_sel, best_t, 0.0), axis=0)
+        bp_ref[0] = jnp.sum(jnp.where(row_sel, best_p, 0), axis=0)
+        bu_ref[0] = jnp.sum(jnp.where(row_sel, best_u, 0.0), axis=0)
+        bv_ref[0] = jnp.sum(jnp.where(row_sel, best_v, 0.0), axis=0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
+def closest_hit_pallas(orig, direction, v0, e1, e2, t_max=None,
+                       t_min: float = 1e-4, interpret: bool = False):
+    """Blocked closest hit.  orig/direction (R, 3); v0/e1/e2 (P, 3).
+    t_max: optional (R,) per-ray upper bound (default +inf).
+    Returns (prim (R,) i32 [-1 miss], t, u, v), matching
+    intersect.closest_hit_bruteforce (see tie-break note above)."""
+    R = orig.shape[0]
+    P = v0.shape[0]
+    Rp = -(-R // LANES) * LANES
+    G = Rp // LANES
+
+    def comp(x, k):
+        return _pad_to(x[:, k], LANES).reshape(G, LANES)
+
+    rays = [comp(orig, 0), comp(orig, 1), comp(orig, 2),
+            comp(direction, 0), comp(direction, 1), comp(direction, 2)]
+
+    tri = jnp.stack([v0[:, 0], v0[:, 1], v0[:, 2],
+                     e1[:, 0], e1[:, 1], e1[:, 2],
+                     e2[:, 0], e2[:, 1], e2[:, 2]], 1)       # (P, 9)
+    tri = jnp.pad(tri, ((0, 0), (0, 16 - 9)))
+    tri = _pad_to(tri, TRI_SUB, axis=0)                      # (Pp, 16)
+    Pp = tri.shape[0]
+
+    if t_max is None:
+        tmax_arr = jnp.full((G, LANES), jnp.inf, F32)
+    else:
+        # padded rays get t_max = -inf so they can never hit
+        tmax_arr = _pad_to(jnp.asarray(t_max, F32), LANES,
+                           fill=-jnp.inf).reshape(G, LANES)
+
+    kernel = _make_kernel(Pp // TRI_SUB, t_min)
+    ray_spec = pl.BlockSpec((1, LANES), lambda g: (g, 0),
+                            memory_space=pltpu.VMEM)
+    bt, bp, bu, bv = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[ray_spec] * 6 + [
+            pl.BlockSpec((Pp, 16), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            ray_spec,
+        ],
+        out_specs=(ray_spec,) * 4,
+        out_shape=(
+            jax.ShapeDtypeStruct((G, LANES), F32),
+            jax.ShapeDtypeStruct((G, LANES), I32),
+            jax.ShapeDtypeStruct((G, LANES), F32),
+            jax.ShapeDtypeStruct((G, LANES), F32),
+        ),
+        interpret=interpret,
+    )(*rays, tri, tmax_arr)
+
+    prim = bp.reshape(Rp)[:R]
+    # padded tri rows are all-zero => det == 0 => never valid
+    miss = (prim < 0) | (prim >= P)
+    prim = jnp.where(miss, jnp.int32(-1), prim)
+    t = jnp.where(miss, jnp.inf, bt.reshape(Rp)[:R])
+    u = jnp.where(miss, 0.0, bu.reshape(Rp)[:R])
+    v = jnp.where(miss, 0.0, bv.reshape(Rp)[:R])
+    return prim, t, u, v
+
+
+def any_hit_pallas(orig, direction, v0, e1, e2, t_max=1.0,
+                   t_min: float = 1e-4, interpret: bool = False):
+    R = orig.shape[0]
+    tm = (jnp.full((R,), t_max, F32) if jnp.ndim(t_max) == 0
+          else jnp.asarray(t_max, F32))
+    prim, _, _, _ = closest_hit_pallas(orig, direction, v0, e1, e2,
+                                       t_max=tm, t_min=t_min,
+                                       interpret=interpret)
+    return prim >= 0

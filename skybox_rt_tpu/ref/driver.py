@@ -158,15 +158,23 @@ def prepare_drawcalls(trace: cgltrace.CGLTrace, width: int, height: int,
 
 
 def compile_frame(trace: cgltrace.CGLTrace, width: int, height: int,
-                  tile_logsize: int = C.RASTER_TILE_LOGSIZE):
+                  tile_logsize: int = C.RASTER_TILE_LOGSIZE,
+                  mode: str = "immediate"):
     """Build a single-dispatch whole-frame render function.
 
     All drawcalls are unrolled inside ONE jit (per-draw states are static),
     so a frame costs one device dispatch — the TPU analog of the
     reference's single vx_start per draw amortized over the full frame.
+
+    mode: "immediate" | "deferred" | "pallas" — the per-draw inner path;
+    deferred/pallas fall back to immediate per drawcall when blending or
+    stencil make the deferred split non-exact (ops.deferred.deferrable).
     Returns (frame_fn, arrays): frame_fn(arrays) -> (H, W) uint32 ARGB.
     """
     import jax
+
+    from ..ops import deferred as deferred_mod
+    from ..ops import pallas_raster
 
     draws = prepare_drawcalls(trace, width, height, tile_logsize)
     statics = tuple((rs, b.tile_logsize) for rs, _, b in draws)
@@ -179,13 +187,25 @@ def compile_frame(trace: cgltrace.CGLTrace, width: int, height: int,
     Hp = -(-height // ts) * ts
     Wp = -(-width // ts) * ts
 
+    def one_draw(rs, tls, texels, e, a, tp, txy, fbc, fbd):
+        use_deferred = (mode in ("deferred", "pallas")
+                        and deferred_mod.deferrable(rs))
+        if use_deferred:
+            vis = "xla"
+            if mode == "pallas" and pallas_raster.supported(rs, tls):
+                vis = "pallas"
+            return deferred_mod._render_deferred_jit.__wrapped__(
+                rs, texels, e, a, a[:, 0], tp, txy, fbc, fbd, tls,
+                visibility=vis)
+        return renderer._render_drawcall_jit.__wrapped__(
+            rs, texels, e, a, tp, txy, fbc, fbd, tls)
+
     @jax.jit
     def frame(arrays):
         fbc = jnp.full((Hp, Wp), CLEAR_COLOR, jnp.uint32)
         fbd = jnp.full((Hp, Wp), CLEAR_DEPTH, jnp.uint32)
         for (rs, tls), (texels, e, a, tp, txy) in zip(statics, arrays):
-            fbc, fbd = renderer._render_drawcall_jit(
-                rs, texels, e, a, tp, txy, fbc, fbd, tls)
+            fbc, fbd = one_draw(rs, tls, texels, e, a, tp, txy, fbc, fbd)
         return fbc[:height, :width]
 
     return frame, arrays

@@ -51,7 +51,11 @@ class RTConfig:
     bounces: int = 0              # extra reflection bounces after primary
     shadows: bool = False
     textured: bool = False
-    use_bvh: bool = True
+    use_bvh: bool = True          # legacy toggle: False forces engine=brute
+    # engine: 'pallas' (blocked VMEM kernel — the TPU deployment path for
+    # scenes <= ~15k tris), 'bvh' (stackless lockstep traversal),
+    # 'brute' (XLA all-pairs oracle)
+    engine: str = "pallas"
     background: tuple = (0.0, 0.0, 0.0, 1.0)
     ambient: float = 0.1
     light_dir: tuple = (0.4, 0.8, 0.45)   # directional light (to light)
@@ -122,9 +126,25 @@ def _interp(attr_per_vertex, faces, prim, u, v):
 def make_intersectors(scene: RTScene, cfg: RTConfig):
     tri = intersect.triangle_arrays(jnp.asarray(scene.verts),
                                     jnp.asarray(scene.faces))
-    if cfg.use_bvh:
-        # stackless lockstep traversal — the TPU-native layout (the
-        # per-ray-stack variant compiles poorly on real hardware)
+    engine = cfg.engine if cfg.use_bvh else "brute"
+    if engine == "pallas":
+        from ..ops import pallas_rt
+        import jax
+
+        interpret = jax.devices()[0].platform not in ("tpu",)
+
+        def closest(o, d, t_max=jnp.inf):
+            tm = None if t_max is jnp.inf else jnp.broadcast_to(
+                jnp.asarray(t_max, F32), o.shape[:1])
+            return pallas_rt.closest_hit_pallas(o, d, *tri, t_max=tm,
+                                                interpret=interpret)
+
+        def occluded(o, d, t_max):
+            return pallas_rt.any_hit_pallas(o, d, *tri, t_max=t_max,
+                                            interpret=interpret)
+    elif engine == "bvh":
+        # stackless lockstep traversal (preorder escape links); the
+        # per-ray-stack variant compiles poorly on real hardware
         bvh_arr = scene.bvh.as_stackless_arrays()
 
         def closest(o, d, t_max=jnp.inf):

@@ -1,0 +1,67 @@
+"""Pallas blocked closest-hit kernel parity vs the brute-force oracle
+(interpret mode on the CPU mesh; compiles for real on TPU under
+SKYBOX_TEST_PLATFORM=axon)."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from skybox_rt_tpu.models import scenes
+from skybox_rt_tpu.ops import pallas_rt
+from skybox_rt_tpu.rt import intersect
+
+INTERPRET = os.environ.get("SKYBOX_TEST_PLATFORM", "cpu") == "cpu"
+
+
+def _rays(R, seed=3, aimed=True):
+    rng = np.random.default_rng(seed)
+    o = rng.normal(size=(R, 3)).astype(np.float32) * 3.0
+    d = (-o if aimed else 0.0) + rng.normal(size=(R, 3)).astype(np.float32) * 0.3
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+@pytest.mark.parametrize("R", [128, 1000])   # aligned + ragged batch
+def test_pallas_rt_matches_bruteforce(R):
+    verts, faces = scenes.icosphere(subdiv=2)
+    tri = intersect.triangle_arrays(jnp.asarray(verts), jnp.asarray(faces))
+    o, d = _rays(R)
+    p_b, t_b, u_b, v_b = intersect.closest_hit_bruteforce(o, d, *tri)
+    p_p, t_p, u_p, v_p = pallas_rt.closest_hit_pallas(
+        o, d, *tri, interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(p_b), np.asarray(p_p))
+    hits = np.asarray(p_b) >= 0
+    assert hits.mean() > 0.9
+    np.testing.assert_allclose(np.asarray(t_b)[hits], np.asarray(t_p)[hits],
+                               rtol=1e-5)
+    # barycentrics: f32 op-ordering noise between jnp.cross and the
+    # per-component kernel math
+    np.testing.assert_allclose(np.asarray(u_b)[hits], np.asarray(u_p)[hits],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v_b)[hits], np.asarray(v_p)[hits],
+                               atol=1e-5)
+
+
+def test_pallas_rt_tmax_occlusion():
+    verts, faces = scenes.icosphere(subdiv=1)
+    tri = intersect.triangle_arrays(jnp.asarray(verts), jnp.asarray(faces))
+    o, d = _rays(512)
+    occ_b = intersect.any_hit_bruteforce(o, d, *tri, t_max=2.0)
+    occ_p = pallas_rt.any_hit_pallas(o, d, *tri, t_max=2.0,
+                                     interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(occ_b), np.asarray(occ_p))
+
+
+def test_pallas_rt_all_miss():
+    verts, faces = scenes.icosphere(subdiv=1)
+    tri = intersect.triangle_arrays(jnp.asarray(verts), jnp.asarray(faces))
+    o, d = _rays(256, aimed=False)
+    # rays starting at |o| ~ 3 pointing randomly: mark the miss set
+    p_b, _, _, _ = intersect.closest_hit_bruteforce(o, d, *tri)
+    p_p, t_p, _, _ = pallas_rt.closest_hit_pallas(o, d, *tri,
+                                                  interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(p_b), np.asarray(p_p))
+    misses = np.asarray(p_p) < 0
+    assert misses.any()
+    assert np.all(np.isinf(np.asarray(t_p)[misses]))
