@@ -142,7 +142,21 @@ def build_parser() -> argparse.ArgumentParser:
 
     i = sub.add_parser("info", help="device capabilities (vx_dev_caps)")
     i.set_defaults(fn=_cmd_info)
+
+    s = sub.add_parser("scale", help="mesh scaling-efficiency sweep "
+                                     "(perf/graphics/run.sh analog)")
+    s.add_argument("-w", "--width", type=int, default=256)
+    s.add_argument("--iters", type=int, default=10)
+    s.set_defaults(fn=_cmd_scale)
     return p
+
+
+def _cmd_scale(args) -> int:
+    from .parallel import scaling
+
+    results = scaling.measure(size=args.width, iters=args.iters)
+    print(json.dumps({str(k): v for k, v in results.items()}, indent=1))
+    return 0
 
 
 def main(argv=None) -> int:

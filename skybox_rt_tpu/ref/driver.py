@@ -193,7 +193,8 @@ def compile_frame(trace: cgltrace.CGLTrace, width: int, height: int,
         if use_deferred:
             vis = "xla"
             if mode == "pallas" and pallas_raster.supported(rs, tls):
-                vis = "pallas"
+                on_tpu = jax.devices()[0].platform == "tpu"
+                vis = "pallas" if on_tpu else "pallas_interpret"
             return deferred_mod._render_deferred_jit.__wrapped__(
                 rs, texels, e, a, a[:, 0], tp, txy, fbc, fbd, tls,
                 visibility=vis)

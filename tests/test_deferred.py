@@ -25,3 +25,22 @@ def test_compile_frame_matches_render_trace():
     frame, arrays = driver.compile_frame(trace, 64, 64)
     got = np.asarray(frame(arrays))
     np.testing.assert_array_equal(got, np.asarray(ref))
+
+
+def test_compile_frame_modes_agree():
+    """Single-dispatch frame compiler: immediate vs deferred inner paths
+    must produce identical frames (mode='pallas' covered on TPU runs)."""
+    import jax
+    import numpy as np
+
+    from skybox_rt_tpu.geom import cgltrace
+    from skybox_rt_tpu.ref import driver
+
+    trace = cgltrace.load_cached(cgltrace.trace_path("tekkaman"))
+    frames = {}
+    for mode in ("immediate", "deferred"):
+        fn, arrays = driver.compile_frame(trace, 64, 64, mode=mode)
+        fb = fn(arrays)
+        jax.block_until_ready(fb)
+        frames[mode] = np.asarray(fb)
+    np.testing.assert_array_equal(frames["immediate"], frames["deferred"])

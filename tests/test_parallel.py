@@ -81,3 +81,16 @@ def test_mesh_helpers():
     padded = mesh_mod.pad_to_multiple(arr, 4, axis=0, fill=-1)
     assert padded.shape == (8, 2)
     assert (padded[5:] == -1).all()
+
+
+def test_scaling_harness():
+    """Scaling sweep harness runs across mesh sizes and reports
+    speedup/efficiency (numbers on the virtual CPU mesh are not
+    performance claims — the API contract is what's tested)."""
+    from skybox_rt_tpu.parallel import scaling
+
+    results = scaling.measure(mesh_sizes=[1, 2], size=64, iters=2, warmup=1)
+    assert set(results) == {1, 2}
+    assert results[1]["efficiency"] == 1.0
+    for r in results.values():
+        assert r["ms"] > 0 and np.isfinite(r["speedup"])
