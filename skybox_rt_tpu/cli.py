@@ -148,7 +148,61 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("-w", "--width", type=int, default=256)
     s.add_argument("--iters", type=int, default=10)
     s.set_defaults(fn=_cmd_scale)
+
+    t = sub.add_parser("rt", help="ray-trace a procedural scene")
+    t.add_argument("-w", "--width", type=int, default=256)
+    t.add_argument("-H", "--height", type=int, default=256)
+    t.add_argument("-o", "--output", default="rt_out.png")
+    t.add_argument("--scene", choices=("sphere", "sphere-plane"),
+                   default="sphere-plane")
+    t.add_argument("--bounces", type=int, default=1)
+    t.add_argument("--no-shadows", action="store_true")
+    t.add_argument("--engine", choices=("pallas", "bvh", "brute"),
+                   default="pallas")
+    t.set_defaults(fn=_cmd_rt)
     return p
+
+
+def _cmd_rt(args) -> int:
+    import jax
+    import numpy as np
+    from PIL import Image
+
+    from .models import scenes as scn
+    from .rt import tracer
+
+    verts, faces = scn.icosphere(subdiv=3)
+    colors = np.tile(np.array([[0.8, 0.3, 0.25, 1.0]], np.float32),
+                     (verts.shape[0], 1))
+    if args.scene == "sphere-plane":
+        pv, pf = scn.mesh_grid_plane(n=8, y=-1.0, half=4.0)
+        pc = np.tile(np.array([[0.55, 0.6, 0.65, 1.0]], np.float32),
+                     (pv.shape[0], 1))
+        faces = np.concatenate([faces, pf + verts.shape[0]])
+        verts = np.concatenate([verts, pv])
+        colors = np.concatenate([colors, pc])
+
+    scene = tracer.RTScene(verts=verts.astype(np.float32),
+                           faces=faces.astype(np.int32),
+                           colors=colors, reflectivity=0.3)
+    cam = tracer.Camera(eye=(0.0, 0.6, 3.2), look_at=(0.0, -0.1, 0.0))
+    cfg = tracer.RTConfig(width=args.width, height=args.height,
+                          bounces=args.bounces,
+                          shadows=not args.no_shadows, engine=args.engine,
+                          background=(0.05, 0.07, 0.1, 1.0))
+    t0 = time.perf_counter()
+    img = tracer.render(scene, cam, cfg)
+    jax.block_until_ready(img)
+    dt = time.perf_counter() - t0
+    rays = args.width * args.height * (
+        1 + (1 if cfg.shadows else 0) + args.bounces)
+    print(f"rendered in {dt*1e3:.1f} ms (incl. compile), "
+          f"~{rays/1e6:.2f}M rays")
+
+    out = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
+    Image.fromarray(out[::-1], "RGBA").save(args.output)
+    print(f"wrote {args.output}")
+    return 0
 
 
 def _cmd_scale(args) -> int:

@@ -9,19 +9,16 @@ block, keeping the running (best_t, best_prim, u, v) in registers — zero
 HBM intermediates, dense VPU math, no gathers.
 
 Layout:
-  rays      (G, 128) per component — 128 rays per lane row, one grid
-            program per row (G = ceil(R/128))
-  triangles (Pp, 16) f32 records   — [v0.xyz e1.xyz e2.xyz pad...] rows,
-            Pp = P padded to a multiple of 8; each inner step reads an
-            (8, 16) record tile and intersects 8 triangles (sublanes)
-            against 128 rays (lanes) as dense (8, 128) VPU tiles
+  rays      (G, 8, 128) per component — 1024 rays per grid program
+            (one native (8, 128) VPU tile; G = ceil(R/1024))
+  triangles (Pp, 16) f32 records      — [v0.xyz e1.xyz e2.xyz pad...]
+            rows; the inner loop broadcasts one triangle per step against
+            the whole ray tile (scalar splats from the VMEM record row)
 
 Whole-array VMEM residency bounds the scene at roughly P <= 15k triangles
 (records pad to 128 lanes); larger scenes use the BVH paths (rt.bvh).
-
-Tie-break note: equal-t hits resolve to the lowest sublane row, which can
-differ from brute-force's lowest-pid rule when pids from different rows
-tie at exactly equal float t; real-scene tests assert exact agreement.
+Ties resolve to the lowest prim id (strict-< accumulation in ascending
+prim order) — identical to brute-force argmin.
 """
 from __future__ import annotations
 
@@ -55,24 +52,27 @@ def _make_kernel(num_tri_steps: int, t_min: float):
                tri_ref,          # (Pp, 16) triangle records
                tmax_ref,
                bt_ref, bp_ref, bu_ref, bv_ref):
-        ox = ox_ref[0][None, :]          # (1, 128)
-        oy = oy_ref[0][None, :]
-        oz = oz_ref[0][None, :]
-        dx = dx_ref[0][None, :]
-        dy = dy_ref[0][None, :]
-        dz = dz_ref[0][None, :]
+        # 1024 rays per program as 8 rows of 128 lanes; the inner tile is
+        # (8 triangles x 128 rays), so every operand is a vector slice —
+        # no scalar extraction anywhere in the loop
+        rows_o = [(ox_ref[0, r:r + 1, :], oy_ref[0, r:r + 1, :],
+                   oz_ref[0, r:r + 1, :]) for r in range(8)]
+        rows_d = [(dx_ref[0, r:r + 1, :], dy_ref[0, r:r + 1, :],
+                   dz_ref[0, r:r + 1, :]) for r in range(8)]
+
+        def init(r):
+            return (tmax_ref[0, r:r + 1, :],
+                    jnp.full((1, LANES), -1, I32),
+                    jnp.zeros((1, LANES), F32),
+                    jnp.zeros((1, LANES), F32))
 
         shape = (TRI_SUB, LANES)
-        best_t = jnp.broadcast_to(tmax_ref[0][None, :], shape)
-        best_p = jnp.full(shape, -1, I32)
-        best_u = jnp.zeros(shape, F32)
-        best_v = jnp.zeros(shape, F32)
+        sub_iota = jax.lax.broadcasted_iota(I32, shape, 0)
 
         def step(j, carry):
-            best_t, best_p, best_u, best_v = carry
-            row = j * TRI_SUB
-            rec = tri_ref[pl.ds(row, TRI_SUB), :]            # (8, 16)
-            v0x = rec[:, 0:1]
+            row0 = j * TRI_SUB
+            rec = tri_ref[pl.ds(row0, TRI_SUB), :]           # (8, 16)
+            v0x = rec[:, 0:1]                                # (8, 1)
             v0y = rec[:, 1:2]
             v0z = rec[:, 2:3]
             e1x = rec[:, 3:4]
@@ -81,46 +81,64 @@ def _make_kernel(num_tri_steps: int, t_min: float):
             e2x = rec[:, 6:7]
             e2y = rec[:, 7:8]
             e2z = rec[:, 8:9]
+            prid = row0 + sub_iota
 
-            # Möller–Trumbore on the (8, 128) tile (intersect.py semantics)
-            pvx = dy * e2z - dz * e2y
-            pvy = dz * e2x - dx * e2z
-            pvz = dx * e2y - dy * e2x
-            det = e1x * pvx + e1y * pvy + e1z * pvz
-            valid = jnp.abs(det) > EPS
-            inv_det = jnp.where(valid, 1.0 / jnp.where(valid, det, 1.0), 0.0)
+            out = []
+            for r in range(8):
+                (ox, oy, oz) = rows_o[r]                     # (1, 128)
+                (dx, dy, dz) = rows_d[r]
+                best_t, best_p, best_u, best_v = carry[r]
 
-            tvx = ox - v0x
-            tvy = oy - v0y
-            tvz = oz - v0z
-            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-            qvx = tvy * e1z - tvz * e1y
-            qvy = tvz * e1x - tvx * e1z
-            qvz = tvx * e1y - tvy * e1x
-            v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-            t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                # Möller–Trumbore on the (8 tris, 128 rays) tile
+                pvx = dy * e2z - dz * e2y
+                pvy = dz * e2x - dx * e2z
+                pvz = dx * e2y - dy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                valid = jnp.abs(det) > EPS
+                inv_det = jnp.where(valid,
+                                    1.0 / jnp.where(valid, det, 1.0), 0.0)
+                tvx = ox - v0x
+                tvy = oy - v0y
+                tvz = oz - v0z
+                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
 
-            hit = (valid & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                   & (t > t_min) & (t < best_t))
-            prid = row + jax.lax.broadcasted_iota(I32, shape, 0)
-            best_p = jnp.where(hit, prid, best_p)
-            best_u = jnp.where(hit, u, best_u)
-            best_v = jnp.where(hit, v, best_v)
-            best_t = jnp.where(hit, t, best_t)
-            return best_t, best_p, best_u, best_v
+                hit = (valid & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                       & (t > t_min) & (t < best_t))           # (8, 128)
+                # reduce the 8 tri candidates: lowest row among the min-t
+                # hits (rows are ascending pids -> argmin tie-break)
+                t_m = jnp.where(hit, t, jnp.inf)
+                win = jnp.argmin(t_m, axis=0, keepdims=True)   # (1, 128)
+                row_sel = win == sub_iota
+                cand_t = jnp.sum(jnp.where(row_sel, t_m, 0.0), axis=0,
+                                 keepdims=True)
+                any_hit = jnp.any(hit, axis=0, keepdims=True)
+                better = any_hit & (cand_t < best_t)
 
-        best_t, best_p, best_u, best_v = jax.lax.fori_loop(
-            0, num_tri_steps, step, (best_t, best_p, best_u, best_v))
+                def pick(x, fill=0.0):
+                    return jnp.sum(jnp.where(row_sel, x, fill), axis=0,
+                                   keepdims=True)
 
-        # reduce the TRI_SUB sublane candidates per ray (lowest row wins
-        # ties -> matches strict-< accumulation order)
-        win = jnp.argmin(best_t, axis=0)                     # (128,)
-        row_sel = (win[None, :]
-                   == jax.lax.broadcasted_iota(I32, shape, 0))
-        bt_ref[0] = jnp.sum(jnp.where(row_sel, best_t, 0.0), axis=0)
-        bp_ref[0] = jnp.sum(jnp.where(row_sel, best_p, 0), axis=0)
-        bu_ref[0] = jnp.sum(jnp.where(row_sel, best_u, 0.0), axis=0)
-        bv_ref[0] = jnp.sum(jnp.where(row_sel, best_v, 0.0), axis=0)
+                best_p = jnp.where(better, pick(prid, 0), best_p)
+                best_u = jnp.where(better, pick(u), best_u)
+                best_v = jnp.where(better, pick(v), best_v)
+                best_t = jnp.where(better, cand_t, best_t)
+                out.append((best_t, best_p, best_u, best_v))
+            return tuple(out)
+
+        carry = tuple(init(r) for r in range(8))
+        carry = jax.lax.fori_loop(0, num_tri_steps, step, carry)
+
+        for r in range(8):
+            best_t, best_p, best_u, best_v = carry[r]
+            bt_ref[0, r:r + 1, :] = best_t
+            bp_ref[0, r:r + 1, :] = best_p
+            bu_ref[0, r:r + 1, :] = best_u
+            bv_ref[0, r:r + 1, :] = best_v
 
     return kernel
 
@@ -134,11 +152,12 @@ def closest_hit_pallas(orig, direction, v0, e1, e2, t_max=None,
     intersect.closest_hit_bruteforce (see tie-break note above)."""
     R = orig.shape[0]
     P = v0.shape[0]
-    Rp = -(-R // LANES) * LANES
-    G = Rp // LANES
+    BLK = 8 * LANES                      # 1024 rays per program
+    Rp = -(-R // BLK) * BLK
+    G = Rp // BLK
 
     def comp(x, k):
-        return _pad_to(x[:, k], LANES).reshape(G, LANES)
+        return _pad_to(x[:, k], BLK).reshape(G, 8, LANES)
 
     rays = [comp(orig, 0), comp(orig, 1), comp(orig, 2),
             comp(direction, 0), comp(direction, 1), comp(direction, 2)]
@@ -151,14 +170,14 @@ def closest_hit_pallas(orig, direction, v0, e1, e2, t_max=None,
     Pp = tri.shape[0]
 
     if t_max is None:
-        tmax_arr = jnp.full((G, LANES), jnp.inf, F32)
+        tmax_arr = jnp.full((G, 8, LANES), jnp.inf, F32)
     else:
         # padded rays get t_max = -inf so they can never hit
-        tmax_arr = _pad_to(jnp.asarray(t_max, F32), LANES,
-                           fill=-jnp.inf).reshape(G, LANES)
+        tmax_arr = _pad_to(jnp.asarray(t_max, F32), BLK,
+                           fill=-jnp.inf).reshape(G, 8, LANES)
 
     kernel = _make_kernel(Pp // TRI_SUB, t_min)
-    ray_spec = pl.BlockSpec((1, LANES), lambda g: (g, 0),
+    ray_spec = pl.BlockSpec((1, 8, LANES), lambda g: (g, 0, 0),
                             memory_space=pltpu.VMEM)
     bt, bp, bu, bv = pl.pallas_call(
         kernel,
@@ -170,10 +189,10 @@ def closest_hit_pallas(orig, direction, v0, e1, e2, t_max=None,
         ],
         out_specs=(ray_spec,) * 4,
         out_shape=(
-            jax.ShapeDtypeStruct((G, LANES), F32),
-            jax.ShapeDtypeStruct((G, LANES), I32),
-            jax.ShapeDtypeStruct((G, LANES), F32),
-            jax.ShapeDtypeStruct((G, LANES), F32),
+            jax.ShapeDtypeStruct((G, 8, LANES), F32),
+            jax.ShapeDtypeStruct((G, 8, LANES), I32),
+            jax.ShapeDtypeStruct((G, 8, LANES), F32),
+            jax.ShapeDtypeStruct((G, 8, LANES), F32),
         ),
         interpret=interpret,
     )(*rays, tri, tmax_arr)
