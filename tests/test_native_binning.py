@@ -59,3 +59,31 @@ def test_dispatcher_uses_native_and_goldens_hold():
     errors, maxdiff = image.compare_to_golden(
         fb, "/root/reference/tests/regression/draw3d/triangle_ref_32.png")
     assert errors == 0 and maxdiff == 0
+
+
+def test_binning_invariants_and_coverage_conservation():
+    """Race-detector analog (SURVEY §5): tile ownership is exclusive and
+    per-pixel coverage counted through tiles == counted globally."""
+    from skybox_rt_tpu.geom import validate
+
+    trace = cgltrace.load_cached(cgltrace.trace_path("triangle"))
+    for size in (32, 64):
+        for dc in trace.drawcalls:
+            b = binning.bin_drawcall(
+                dc.pos, dc.indices, dc.color, dc.texcoord, size, size,
+                dc.near, dc.far, 4)
+            if b is None:
+                continue
+            validate.validate_binning(b, size, size)
+            validate.coverage_conservation(b, size, size)
+
+
+def test_coverage_conservation_vase():
+    from skybox_rt_tpu.geom import validate
+
+    trace = cgltrace.load_cached(cgltrace.trace_path("vase"))
+    dc = trace.drawcalls[0]
+    b = binning.bin_drawcall(dc.pos, dc.indices, dc.color, dc.texcoord,
+                             64, 64, dc.near, dc.far, 5)
+    validate.validate_binning(b, 64, 64)
+    validate.coverage_conservation(b, 64, 64)
