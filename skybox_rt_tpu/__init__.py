@@ -13,6 +13,11 @@ import os
 def _enable_compile_cache():
     if os.environ.get("SKYBOX_NO_COMPILE_CACHE") == "1":
         return
+    # the axon tunnel's remote-compile helper interacts badly with the
+    # persistent cache (measured 10-20x slower compiles, zero entries
+    # written) — keep the cache for real local TPU/CPU backends only
+    if "axon" in os.environ.get("JAX_PLATFORMS", ""):
+        return
     cache_dir = os.environ.get(
         "SKYBOX_COMPILE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "skybox_jax"))

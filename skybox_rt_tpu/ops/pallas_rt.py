@@ -12,8 +12,8 @@ Layout:
   rays      (G, 8, 128) per component — 1024 rays per grid program
             (one native (8, 128) VPU tile; G = ceil(R/1024))
   triangles (Pp, 16) f32 records      — [v0.xyz e1.xyz e2.xyz pad...]
-            rows; the inner loop broadcasts one triangle per step against
-            the whole ray tile (scalar splats from the VMEM record row)
+            rows; the inner loop splat-broadcasts one triangle per step
+            against the whole ray tile
 
 Whole-array VMEM residency bounds the scene at roughly P <= 15k triangles
 (records pad to 128 lanes); larger scenes use the BVH paths (rt.bvh).
@@ -52,93 +52,59 @@ def _make_kernel(num_tri_steps: int, t_min: float):
                tri_ref,          # (Pp, 16) triangle records
                tmax_ref,
                bt_ref, bp_ref, bu_ref, bv_ref):
-        # 1024 rays per program as 8 rows of 128 lanes; the inner tile is
-        # (8 triangles x 128 rays), so every operand is a vector slice —
-        # no scalar extraction anywhere in the loop
-        rows_o = [(ox_ref[0, r:r + 1, :], oy_ref[0, r:r + 1, :],
-                   oz_ref[0, r:r + 1, :]) for r in range(8)]
-        rows_d = [(dx_ref[0, r:r + 1, :], dy_ref[0, r:r + 1, :],
-                   dz_ref[0, r:r + 1, :]) for r in range(8)]
-
-        def init(r):
-            return (tmax_ref[0, r:r + 1, :],
-                    jnp.full((1, LANES), -1, I32),
-                    jnp.zeros((1, LANES), F32),
-                    jnp.zeros((1, LANES), F32))
-
-        shape = (TRI_SUB, LANES)
-        sub_iota = jax.lax.broadcasted_iota(I32, shape, 0)
+        # 1024 rays per program as one native (8, 128) tile; one triangle
+        # per step splat against the whole tile.  (Wider designs — 8-tri
+        # record tiles with slice broadcasts, or per-row (8 tri x 128 ray)
+        # blocking — compile pathologically in Mosaic today; this shape
+        # compiles in ~30 s and runs ~2x the XLA brute-force path.)
+        ox = ox_ref[0]
+        oy = oy_ref[0]
+        oz = oz_ref[0]
+        dx = dx_ref[0]
+        dy = dy_ref[0]
+        dz = dz_ref[0]
 
         def step(j, carry):
-            row0 = j * TRI_SUB
-            rec = tri_ref[pl.ds(row0, TRI_SUB), :]           # (8, 16)
-            v0x = rec[:, 0:1]                                # (8, 1)
-            v0y = rec[:, 1:2]
-            v0z = rec[:, 2:3]
-            e1x = rec[:, 3:4]
-            e1y = rec[:, 4:5]
-            e1z = rec[:, 5:6]
-            e2x = rec[:, 6:7]
-            e2y = rec[:, 7:8]
-            e2z = rec[:, 8:9]
-            prid = row0 + sub_iota
+            best_t, best_p, best_u, best_v = carry
+            rec = tri_ref[j]                                 # (16,)
+            v0x, v0y, v0z = rec[0], rec[1], rec[2]
+            e1x, e1y, e1z = rec[3], rec[4], rec[5]
+            e2x, e2y, e2z = rec[6], rec[7], rec[8]
 
-            out = []
-            for r in range(8):
-                (ox, oy, oz) = rows_o[r]                     # (1, 128)
-                (dx, dy, dz) = rows_d[r]
-                best_t, best_p, best_u, best_v = carry[r]
+            # Möller–Trumbore, one triangle against the (8, 128) ray tile
+            pvx = dy * e2z - dz * e2y
+            pvy = dz * e2x - dx * e2z
+            pvz = dx * e2y - dy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            valid = jnp.abs(det) > EPS
+            inv_det = jnp.where(valid, 1.0 / jnp.where(valid, det, 1.0), 0.0)
+            tvx = ox - v0x
+            tvy = oy - v0y
+            tvz = oz - v0z
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+            t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
 
-                # Möller–Trumbore on the (8 tris, 128 rays) tile
-                pvx = dy * e2z - dz * e2y
-                pvy = dz * e2x - dx * e2z
-                pvz = dx * e2y - dy * e2x
-                det = e1x * pvx + e1y * pvy + e1z * pvz
-                valid = jnp.abs(det) > EPS
-                inv_det = jnp.where(valid,
-                                    1.0 / jnp.where(valid, det, 1.0), 0.0)
-                tvx = ox - v0x
-                tvy = oy - v0y
-                tvz = oz - v0z
-                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-                qvx = tvy * e1z - tvz * e1y
-                qvy = tvz * e1x - tvx * e1z
-                qvz = tvx * e1y - tvy * e1x
-                v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+            hit = (valid & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                   & (t > t_min) & (t < best_t))
+            best_p = jnp.where(hit, j, best_p)
+            best_u = jnp.where(hit, u, best_u)
+            best_v = jnp.where(hit, v, best_v)
+            best_t = jnp.where(hit, t, best_t)
+            return best_t, best_p, best_u, best_v
 
-                hit = (valid & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                       & (t > t_min) & (t < best_t))           # (8, 128)
-                # reduce the 8 tri candidates: lowest row among the min-t
-                # hits (rows are ascending pids -> argmin tie-break)
-                t_m = jnp.where(hit, t, jnp.inf)
-                win = jnp.argmin(t_m, axis=0, keepdims=True)   # (1, 128)
-                row_sel = win == sub_iota
-                cand_t = jnp.sum(jnp.where(row_sel, t_m, 0.0), axis=0,
-                                 keepdims=True)
-                any_hit = jnp.any(hit, axis=0, keepdims=True)
-                better = any_hit & (cand_t < best_t)
+        carry = (tmax_ref[0], jnp.full(ox.shape, -1, I32),
+                 jnp.zeros(ox.shape, F32), jnp.zeros(ox.shape, F32))
+        best_t, best_p, best_u, best_v = jax.lax.fori_loop(
+            0, num_tri_steps, step, carry)
 
-                def pick(x, fill=0.0):
-                    return jnp.sum(jnp.where(row_sel, x, fill), axis=0,
-                                   keepdims=True)
-
-                best_p = jnp.where(better, pick(prid, 0), best_p)
-                best_u = jnp.where(better, pick(u), best_u)
-                best_v = jnp.where(better, pick(v), best_v)
-                best_t = jnp.where(better, cand_t, best_t)
-                out.append((best_t, best_p, best_u, best_v))
-            return tuple(out)
-
-        carry = tuple(init(r) for r in range(8))
-        carry = jax.lax.fori_loop(0, num_tri_steps, step, carry)
-
-        for r in range(8):
-            best_t, best_p, best_u, best_v = carry[r]
-            bt_ref[0, r:r + 1, :] = best_t
-            bp_ref[0, r:r + 1, :] = best_p
-            bu_ref[0, r:r + 1, :] = best_u
-            bv_ref[0, r:r + 1, :] = best_v
+        bt_ref[0] = best_t
+        bp_ref[0] = best_p
+        bu_ref[0] = best_u
+        bv_ref[0] = best_v
 
     return kernel
 
@@ -176,7 +142,7 @@ def closest_hit_pallas(orig, direction, v0, e1, e2, t_max=None,
         tmax_arr = _pad_to(jnp.asarray(t_max, F32), BLK,
                            fill=-jnp.inf).reshape(G, 8, LANES)
 
-    kernel = _make_kernel(Pp // TRI_SUB, t_min)
+    kernel = _make_kernel(P, t_min)      # loop real prims only
     ray_spec = pl.BlockSpec((1, 8, LANES), lambda g: (g, 0, 0),
                             memory_space=pltpu.VMEM)
     bt, bp, bu, bv = pl.pallas_call(
