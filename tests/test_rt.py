@@ -188,3 +188,44 @@ def test_preorder_escape_invariants():
             f = bvh.pre_first[i]
             covered.extend(bvh.prim_order[f:f + bvh.pre_count[i]])
     assert sorted(covered) == list(range(faces.shape[0]))
+
+
+def test_wavefront_sort_roundtrip():
+    """Morton/octant ray sorting: permutation correctness — sorted
+    traversal returns identical results in original ray order."""
+    from skybox_rt_tpu.rt import wavefront
+
+    verts, faces = scenes.icosphere(subdiv=2)
+    tri = intersect.triangle_arrays(jnp.asarray(verts), jnp.asarray(faces))
+    rng = np.random.default_rng(11)
+    R = 777
+    o = rng.normal(size=(R, 3)).astype(np.float32) * 3.0
+    d = -o + rng.normal(size=(R, 3)).astype(np.float32) * 0.3
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+
+    def closest(o_, d_):
+        return intersect.closest_hit_bruteforce(o_, d_, *tri)
+
+    ref = closest(o, d)
+    got = wavefront.traverse_sorted(closest, o, d,
+                                    verts.min(0) - 3.0, verts.max(0) + 3.0)
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_morton_locality():
+    """Morton keys of nearby points differ less than far points (sanity of
+    the interleave) and octant dominates the key."""
+    from skybox_rt_tpu.rt import wavefront
+
+    o = jnp.asarray([[0.0, 0.0, 0.0], [0.01, 0.01, 0.01], [0.9, 0.9, 0.9]],
+                    jnp.float32)
+    d_pos = jnp.asarray([[1.0, 1.0, 1.0]] * 3, jnp.float32)
+    keys = np.asarray(wavefront.ray_sort_keys(o, d_pos,
+                                              jnp.zeros(3), jnp.ones(3)))
+    assert abs(int(keys[0]) - int(keys[1])) < abs(int(keys[0]) - int(keys[2]))
+    d_neg = -d_pos
+    keys_neg = np.asarray(wavefront.ray_sort_keys(o, d_neg,
+                                                  jnp.zeros(3), jnp.ones(3)))
+    assert (keys_neg != keys).all()
