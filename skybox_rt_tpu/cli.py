@@ -160,7 +160,66 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--engine", choices=("pallas", "bvh", "brute"),
                    default="pallas")
     t.set_defaults(fn=_cmd_rt)
+
+    f = sub.add_parser("fit", help="inverse-rendering demo: recover vertex "
+                                   "colors/positions from a target image")
+    f.add_argument("-w", "--width", type=int, default=64)
+    f.add_argument("--steps", type=int, default=200)
+    f.add_argument("--lr", type=float, default=2e-2)
+    f.add_argument("-o", "--out-prefix", default="fit")
+    f.add_argument("--checkpoint-dir", default=None)
+    f.set_defaults(fn=_cmd_fit)
     return p
+
+
+def _cmd_fit(args) -> int:
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from .diff import binning as dbin
+    from .diff import optim, pipeline
+    from .models import scenes
+
+    size = args.width
+    params, indices = scenes.triangle()
+    params = {k: jnp.asarray(v) for k, v in params.items()}
+    cfg = pipeline.DiffRenderConfig(width=size, height=size, tile_logsize=4)
+    static = {k: jnp.asarray(v) for k, v in dbin.bin_static(
+        np.asarray(params["pos"]), indices, size, size,
+        tile_logsize=4).items()}
+
+    # ground truth: shifted + recolored triangle
+    truth = dict(params)
+    truth["color"] = params["color"] * jnp.asarray([[0.2, 0.9, 0.4, 1.0]])
+    target = pipeline.render_cropped(truth, static, cfg)
+
+    start = {"color": params["color"] * 0.5}
+
+    def loss_fn(p, static, target):
+        img = pipeline.render_cropped({**params, **p}, static, cfg)
+        return jnp.mean((img - target) ** 2)
+
+    def save(img, name):
+        arr = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
+        Image.fromarray(arr[::-1], "RGBA").save(f"{args.out_prefix}_{name}.png")
+
+    save(target, "target")
+    save(pipeline.render_cropped({**params, **start}, static, cfg), "before")
+
+    res = optim.fit(loss_fn, start, static, target, steps=args.steps,
+                    lr=args.lr, checkpoint_dir=args.checkpoint_dir)
+    save(pipeline.render_cropped({**params, **res.params}, static, cfg),
+         "after")
+    print(json.dumps({
+        "loss_first": res.losses[0] if res.losses else None,
+        "loss_last": res.losses[-1] if res.losses else None,
+        "bad_steps": res.bad_steps,
+        "resumed_from": res.resumed_from,
+        "outputs": [f"{args.out_prefix}_{n}.png"
+                    for n in ("target", "before", "after")],
+    }))
+    return 0
 
 
 def _cmd_rt(args) -> int:

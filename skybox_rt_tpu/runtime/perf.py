@@ -46,6 +46,30 @@ class PerfCounters:
             print(f"PERF: {k:<36} {self.times_ms[k]:>14.3f} ms", file=file)
 
 
+def cost_analysis(fn, *args, **kwargs) -> dict:
+    """XLA's own cost model for a jittable fn — the flop/byte counters the
+    MPM classes expose in hardware (SURVEY §5a perf counters).
+
+    Returns {"flops": .., "bytes_accessed": .., "utilization_hints": {...}}
+    plus everything else XLA reports.  Use with the measured wall time for
+    a roofline check: flops/time vs peak, bytes/time vs HBM bandwidth.
+    """
+    import jax
+
+    lowered = jax.jit(fn).lower(*args, **kwargs)
+    compiled = lowered.compile()
+    analyses = compiled.cost_analysis()
+    # cost_analysis returns one dict per device program (jax>=0.4 returns
+    # a plain dict on recent versions)
+    if isinstance(analyses, (list, tuple)):
+        analyses = analyses[0] if analyses else {}
+    out = {"flops": float(analyses.get("flops", 0.0)),
+           "bytes_accessed": float(analyses.get("bytes accessed", 0.0))}
+    out.update({k: v for k, v in analyses.items()
+                if isinstance(v, (int, float))})
+    return out
+
+
 def drawcall_traffic(binned, render_state) -> dict:
     """Analytic memory-traffic model for one binned drawcall.
 

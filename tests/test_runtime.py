@@ -120,3 +120,19 @@ def test_cli_render_golden(tmp_path):
     assert r.returncode == 0, r.stderr + r.stdout
     assert "PASSED!" in r.stdout
     assert "PERF:" in r.stdout
+
+
+def test_cost_analysis():
+    """XLA cost counters: a known matmul reports ~2*M*N*K flops."""
+    import jax.numpy as jnp
+
+    from skybox_rt_tpu.runtime import perf as perf_mod
+
+    a = np.ones((64, 64), np.float32)
+
+    def f(a):
+        return jnp.dot(a, a, preferred_element_type=jnp.float32)
+
+    c = perf_mod.cost_analysis(f, a)
+    assert c["flops"] >= 2 * 64 * 64 * 64 * 0.5   # within cost-model slack
+    assert c["bytes_accessed"] > 0
