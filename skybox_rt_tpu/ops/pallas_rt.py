@@ -173,6 +173,190 @@ def closest_hit_pallas(orig, direction, v0, e1, e2, t_max=None,
     return prim, t, u, v
 
 
+def _mt_update(ox, oy, oz, dx, dy, dz, rec, slot, t_min,
+               st_ref, sp_ref, su_ref, sv_ref):
+    """One-triangle Möller–Trumbore against the (8, 128) ray tile with
+    running-best update into the scratch refs."""
+    v0x, v0y, v0z = rec[0], rec[1], rec[2]
+    e1x, e1y, e1z = rec[3], rec[4], rec[5]
+    e2x, e2y, e2z = rec[6], rec[7], rec[8]
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    valid = jnp.abs(det) > EPS
+    inv_det = jnp.where(valid, 1.0 / jnp.where(valid, det, 1.0), 0.0)
+    tvx = ox - v0x
+    tvy = oy - v0y
+    tvz = oz - v0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+    best_t = st_ref[:]
+    hit = (valid & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+           & (t > t_min) & (t < best_t))
+    st_ref[:] = jnp.where(hit, t, best_t)
+    sp_ref[:] = jnp.where(hit, slot, sp_ref[:])
+    su_ref[:] = jnp.where(hit, u, su_ref[:])
+    sv_ref[:] = jnp.where(hit, v, sv_ref[:])
+
+
+def _make_clustered_kernel(num_clusters: int, t_min: float):
+    def kernel(cf_ref, cc_ref, ca_ref,            # scalar-prefetch (SMEM)
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               tri_ref, tmax_ref,
+               bt_ref, bp_ref, bu_ref, bv_ref,
+               st_ref, sp_ref, su_ref, sv_ref):   # VMEM scratch
+        ox = ox_ref[0]
+        oy = oy_ref[0]
+        oz = oz_ref[0]
+        dx = dx_ref[0]
+        dy = dy_ref[0]
+        dz = dz_ref[0]
+
+        st_ref[:] = tmax_ref[0]
+        sp_ref[:] = jnp.full(ox.shape, -1, I32)
+        su_ref[:] = jnp.zeros(ox.shape, F32)
+        sv_ref[:] = jnp.zeros(ox.shape, F32)
+
+        safe_x = jnp.abs(dx) > 1e-12
+        inv_dx = jnp.where(safe_x, 1.0 / jnp.where(safe_x, dx, 1.0), 1e30)
+        safe_y = jnp.abs(dy) > 1e-12
+        inv_dy = jnp.where(safe_y, 1.0 / jnp.where(safe_y, dy, 1.0), 1e30)
+        safe_z = jnp.abs(dz) > 1e-12
+        inv_dz = jnp.where(safe_z, 1.0 / jnp.where(safe_z, dz, 1.0), 1e30)
+
+        def cstep(c, _):
+            # cluster AABB slab test vs the whole ray tile (SMEM scalars)
+            t0x = (ca_ref[c, 0] - ox) * inv_dx
+            t1x = (ca_ref[c, 3] - ox) * inv_dx
+            t0y = (ca_ref[c, 1] - oy) * inv_dy
+            t1y = (ca_ref[c, 4] - oy) * inv_dy
+            t0z = (ca_ref[c, 2] - oz) * inv_dz
+            t1z = (ca_ref[c, 5] - oz) * inv_dz
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), 0.0))
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.minimum(jnp.maximum(t0z, t1z), st_ref[:]))
+            any_hit = jnp.any(tn <= tf)
+
+            @pl.when(any_hit)
+            def _():
+                first = cf_ref[c]
+
+                def tstep(k, _):
+                    slot = first + k
+                    _mt_update(ox, oy, oz, dx, dy, dz, tri_ref[slot],
+                               slot, t_min, st_ref, sp_ref, su_ref, sv_ref)
+                    return 0
+
+                jax.lax.fori_loop(0, cc_ref[c], tstep, 0)
+            return 0
+
+        jax.lax.fori_loop(0, num_clusters, cstep, 0)
+
+        bt_ref[0] = st_ref[:]
+        bp_ref[0] = sp_ref[:]
+        bu_ref[0] = su_ref[:]
+        bv_ref[0] = sv_ref[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
+def _clustered_call(rays, tri, tmax_arr, cl_first, cl_count, cl_aabb,
+                    t_min, interpret):
+    G = rays[0].shape[0]
+    Pp = tri.shape[0]
+    C = cl_first.shape[0]
+    kernel = _make_clustered_kernel(C, t_min)
+    ray_spec = pl.BlockSpec((1, 8, LANES), lambda g, *_: (g, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,           # first, count, aabb in SMEM
+        grid=(G,),
+        in_specs=[ray_spec] * 6 + [
+            pl.BlockSpec((Pp, 16), lambda g, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            ray_spec,
+        ],
+        out_specs=(ray_spec,) * 4,
+        scratch_shapes=[pltpu.VMEM((8, LANES), F32),
+                        pltpu.VMEM((8, LANES), I32),
+                        pltpu.VMEM((8, LANES), F32),
+                        pltpu.VMEM((8, LANES), F32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((G, 8, LANES), F32),
+            jax.ShapeDtypeStruct((G, 8, LANES), I32),
+            jax.ShapeDtypeStruct((G, 8, LANES), F32),
+            jax.ShapeDtypeStruct((G, 8, LANES), F32),
+        ),
+        interpret=interpret,
+    )(cl_first, cl_count, cl_aabb, *rays, tri, tmax_arr)
+
+
+def closest_hit_clustered(orig, direction, v0, e1, e2, clusters,
+                          t_max=None, t_min: float = 1e-4,
+                          interpret: bool = False):
+    """Cluster-culled closest hit: BVH treelets (rt.bvh.build_clusters)
+    gate whole triangle ranges behind a per-ray-block AABB test with a
+    whole-tile skip — the algorithmic lever the flat kernel lacks.
+    Ray blocks should be spatially coherent (camera tiles or
+    rt.wavefront-sorted) for the skips to fire.
+
+    clusters: dict from rt.bvh.build_clusters.
+    Returns (prim (R,) i32 in ORIGINAL prim ids, t, u, v)."""
+    R = orig.shape[0]
+    P = v0.shape[0]
+    Rp = -(-R // (8 * LANES)) * (8 * LANES)
+    G = Rp // (8 * LANES)
+
+    def comp(x, k):
+        return _pad_to(x[:, k], 8 * LANES).reshape(G, 8, LANES)
+
+    rays = [comp(orig, 0), comp(orig, 1), comp(orig, 2),
+            comp(direction, 0), comp(direction, 1), comp(direction, 2)]
+
+    order = jnp.asarray(clusters["order"])
+    tri = jnp.stack([v0[:, 0], v0[:, 1], v0[:, 2],
+                     e1[:, 0], e1[:, 1], e1[:, 2],
+                     e2[:, 0], e2[:, 1], e2[:, 2]], 1)[order]   # reordered
+    tri = jnp.pad(tri, ((0, 0), (0, 16 - 9)))
+    tri = _pad_to(tri, TRI_SUB, axis=0)
+
+    if t_max is None:
+        tmax_arr = jnp.full((G, 8, LANES), jnp.inf, F32)
+    else:
+        tmax_arr = _pad_to(jnp.asarray(t_max, F32), 8 * LANES,
+                           fill=-jnp.inf).reshape(G, 8, LANES)
+
+    bt, bp, bu, bv = _clustered_call(
+        rays, tri, tmax_arr,
+        jnp.asarray(clusters["first"], jnp.int32),
+        jnp.asarray(clusters["count"], jnp.int32),
+        jnp.asarray(clusters["aabb"], F32),
+        t_min, interpret)
+
+    Rp_ = G * 8 * LANES
+    slot = bp.reshape(Rp_)[:R]
+    miss = (slot < 0) | (slot >= P)
+    prim = jnp.where(miss, jnp.int32(-1),
+                     order[jnp.clip(slot, 0, P - 1)])
+    t = jnp.where(miss, jnp.inf, bt.reshape(Rp_)[:R])
+    u = jnp.where(miss, 0.0, bu.reshape(Rp_)[:R])
+    v = jnp.where(miss, 0.0, bv.reshape(Rp_)[:R])
+    return prim, t, u, v
+
+
 def any_hit_pallas(orig, direction, v0, e1, e2, t_max=1.0,
                    t_min: float = 1e-4, interpret: bool = False):
     R = orig.shape[0]

@@ -166,6 +166,51 @@ def build(verts: np.ndarray, faces: np.ndarray,
     )
 
 
+def build_clusters(bvh: BVH, max_tris: int = 64):
+    """Cut the BVH into treelets of <= max_tris contiguous primitives.
+
+    Because build() stores leaf prims contiguously in prim_order, any
+    subtree covers a contiguous [first, first+count) range — a treelet is
+    just that range plus its AABB.  Used by the cluster-culled Pallas
+    kernel (ops.pallas_rt.closest_hit_clustered): a ray block tests the
+    treelet AABB once and skips the whole triangle range on a miss.
+
+    Returns dict(aabb (C, 8) f32 [min.xyz max.xyz 0 0], first (C,) i32,
+    count (C,) i32, order (P,) i32 = prim_order).
+    """
+    aabbs, firsts, counts = [], [], []
+
+    def subtree_range(ni):
+        # (first, count) covered by node ni
+        if bvh.node_count[ni] > 0:
+            return int(bvh.node_first[ni]), int(bvh.node_count[ni])
+        f0, c0 = subtree_range(bvh.node_left[ni])
+        f1, c1 = subtree_range(bvh.node_right[ni])
+        lo = min(f0, f1)
+        assert max(f0 + c0, f1 + c1) - lo == c0 + c1, "non-contiguous"
+        return lo, c0 + c1
+
+    stack = [0]
+    while stack:
+        ni = stack.pop()
+        f, c = subtree_range(ni)
+        if c <= max_tris or bvh.node_count[ni] > 0:
+            aabbs.append(np.concatenate([
+                bvh.node_min[ni], bvh.node_max[ni],
+                np.zeros(2, np.float32)]))
+            firsts.append(f)
+            counts.append(c)
+        else:
+            stack.append(bvh.node_right[ni])
+            stack.append(bvh.node_left[ni])
+    return {
+        "aabb": np.asarray(aabbs, np.float32),
+        "first": np.asarray(firsts, np.int32),
+        "count": np.asarray(counts, np.int32),
+        "order": bvh.prim_order.astype(np.int32),
+    }
+
+
 def _aabb_hit(bmin, bmax, orig, inv_dir, t_best):
     """Slab test; robust to inf inv_dir (axis-parallel rays)."""
     t0 = (bmin - orig) * inv_dir

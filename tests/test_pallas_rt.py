@@ -65,3 +65,49 @@ def test_pallas_rt_all_miss():
     misses = np.asarray(p_p) < 0
     assert misses.any()
     assert np.all(np.isinf(np.asarray(t_p)[misses]))
+
+
+def test_clustered_matches_bruteforce():
+    """Cluster-culled kernel vs brute force: same hits, modulo exact-t ties
+    (shared triangle edges can register equal-t hits whose winner depends
+    on test order — both answers are valid intersections)."""
+    from skybox_rt_tpu.rt import bvh as bvh_mod
+
+    verts, faces = scenes.icosphere(subdiv=3)
+    tri = intersect.triangle_arrays(jnp.asarray(verts), jnp.asarray(faces))
+    bvh = bvh_mod.build(verts, faces)
+    clusters = bvh_mod.build_clusters(bvh, max_tris=64)
+
+    o, d = _rays(2000, seed=5)
+    p_b, t_b, u_b, v_b = intersect.closest_hit_bruteforce(o, d, *tri)
+    p_c, t_c, u_c, v_c = pallas_rt.closest_hit_clustered(
+        o, d, *tri, clusters, interpret=INTERPRET)
+
+    p_b_, p_c_ = np.asarray(p_b), np.asarray(p_c)
+    t_b_, t_c_ = np.asarray(t_b), np.asarray(t_c)
+    same_hit = (p_b_ >= 0) == (p_c_ >= 0)
+    assert same_hit.all()
+    hits = p_b_ >= 0
+    np.testing.assert_allclose(t_c_[hits], t_b_[hits], rtol=1e-5)
+    diff = hits & (p_b_ != p_c_)
+    # tie pixels only, and rare
+    assert diff.mean() < 0.01
+    np.testing.assert_allclose(t_c_[diff], t_b_[diff], rtol=1e-5)
+
+
+def test_build_clusters_structure():
+    from skybox_rt_tpu.models import scenes as scn
+    from skybox_rt_tpu.rt import bvh as bvh_mod
+
+    verts, faces = scn.icosphere(subdiv=2)
+    bvh = bvh_mod.build(verts, faces)
+    cl = bvh_mod.build_clusters(bvh, max_tris=64)
+    P = faces.shape[0]
+    assert (cl["count"] <= 64).all() or (bvh.node_count > 64).any()
+    # ranges tile [0, P) exactly
+    spans = sorted(zip(cl["first"].tolist(), cl["count"].tolist()))
+    pos = 0
+    for f, c in spans:
+        assert f == pos
+        pos += c
+    assert pos == P
