@@ -94,3 +94,44 @@ def test_raster_triangle(size):
     errors, maxd = image.compare_to_golden(
         fb, f"{RASTER}/triangle_ref_{size}.png")
     assert errors == 0 and maxd == 0
+
+
+def test_multi_stage_texture_units():
+    """Two bound stages with different formats sample independently
+    (the VX_TEX_STAGE_COUNT surface; vx_intrinsics.h:100-105)."""
+    import jax.numpy as jnp
+
+    from skybox_rt_tpu.texture import convert, mipmap, units
+    from skybox_rt_tpu.texture import sampler as sampler_mod
+
+    rgba = _load_rgba(f"{TEX}/toad.png")
+
+    def make_stage(fmt):
+        texels2d = convert.rgba_to_texels(rgba, fmt)
+        level0 = convert.texels_to_bytes(texels2d, fmt)
+        chain, offs = mipmap.generate_mipmaps(level0, fmt, rgba.shape[1],
+                                              rgba.shape[0])
+        st = sampler_mod.TextureState(
+            format=fmt, log_width=6, log_height=6,
+            filter=C.TEX_FILTER_POINT, wrap_u=C.TEX_WRAP_CLAMP,
+            wrap_v=C.TEX_WRAP_CLAMP, mip_offsets=tuple(offs))
+        return st, jnp.asarray(sampler_mod.make_texel_array(fmt, chain))
+
+    st0, tex0 = make_stage(C.TEX_FORMAT_A8R8G8B8)
+    st1, tex1 = make_stage(C.TEX_FORMAT_L8)
+    u = units.bind(st0, st1)
+
+    # center texel, fixed23 coords
+    uu = jnp.full((4,), 1 << 22, jnp.int32)
+    vv = jnp.full((4,), 1 << 22, jnp.int32)
+    c0 = np.asarray(units.sample(u, (tex0, tex1), 0, uu, vv))
+    c1 = np.asarray(units.sample(u, (tex0, tex1), 1, uu, vv))
+    # stage 0 is full-color; stage 1 is grayscale of the red channel
+    r0 = (c0[0] >> 16) & 0xFF
+    assert ((c1[0] >> 16) & 0xFF) == ((c1[0] >> 8) & 0xFF) == (c1[0] & 0xFF)
+    assert ((c1[0] >> 16) & 0xFF) == r0
+
+    with pytest.raises(ValueError):
+        units.bind(st0, st1, st0)      # > STAGE_COUNT
+    with pytest.raises(ValueError):
+        units.bind(st0, None).state(1)
