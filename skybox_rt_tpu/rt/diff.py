@@ -78,6 +78,34 @@ def render_depth(verts, faces, o, d, bvh_arrays=None, background=0.0):
     return jnp.where(prim >= 0, t, background)
 
 
+def render_lambert_smooth(verts, faces, normals, vert_colors, o, d,
+                          light_dir, bvh_arrays=None, ambient=0.1,
+                          background=(0., 0., 0.)):
+    """Differentiable RT with interpolated vertex normals: gradients flow
+    to `normals` (the north-star 'grads w.r.t. normals' axis), to verts
+    (hit position + barycentrics), and to vert_colors."""
+    prim, t, u, v = closest_hit_diff(verts, faces, o, d, bvh_arrays)
+    hit = prim >= 0
+    p = jnp.maximum(prim, 0)
+    f = faces[p]
+    w = (1.0 - u - v)
+
+    def interp(a):
+        return (a[f[:, 0]] * w[:, None] + a[f[:, 1]] * u[:, None]
+                + a[f[:, 2]] * v[:, None])
+
+    albedo = interp(vert_colors)[:, :3]
+    n = interp(normals)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    n = jnp.where(jnp.sum(n * d, -1, keepdims=True) > 0, -n, n)
+
+    l = jnp.asarray(light_dir, F32)
+    l = l / jnp.linalg.norm(l)
+    ndotl = jnp.maximum(jnp.sum(n * l, -1), 0.0)
+    rgb = albedo * (ambient + ndotl[:, None])
+    return jnp.where(hit[:, None], rgb, jnp.asarray(background, F32))
+
+
 def render_lambert(verts, faces, vert_colors, o, d, light_dir,
                    bvh_arrays=None, ambient=0.1, background=(0., 0., 0.)):
     """Differentiable Lambert-shaded RT render.

@@ -106,3 +106,35 @@ def test_bvh_and_brute_diff_agree():
     g2 = jax.grad(loss_bvh)(verts)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5,
                                atol=1e-7)
+
+
+def test_normal_grads_match_fd():
+    """Gradients w.r.t. vertex normals (north-star config 4 axis)."""
+    verts, faces, o, d = _scene_and_rays()
+    from skybox_rt_tpu.rt import tracer as tr
+    normals = jnp.asarray(tr.vertex_normals(np.asarray(verts),
+                                            np.asarray(faces)))
+    colors = jnp.ones((verts.shape[0], 4), jnp.float32) * 0.6
+    light = (0.2, 0.9, 0.4)
+
+    def loss(n):
+        rgb = rt_diff.render_lambert_smooth(verts, faces, n, colors, o, d,
+                                            light)
+        return jnp.sum(rgb)
+
+    g = jax.grad(loss)(normals)
+    assert np.all(np.isfinite(np.asarray(g)))
+    rng = np.random.default_rng(4)
+    eps = 1e-3
+    ok = 0
+    for _ in range(10):
+        vi = int(rng.integers(normals.shape[0]))
+        ci = int(rng.integers(3))
+        dn = np.zeros(normals.shape, np.float32)
+        dn[vi, ci] = eps
+        fd = (float(loss(normals + dn)) - float(loss(normals - dn))) / (2 * eps)
+        an = float(g[vi, ci])
+        if abs(fd - an) <= 0.03 * max(abs(fd), abs(an), 1.0):
+            ok += 1
+    # clamp kinks (ndotl max(.,0)) exclude a few coords; most must match
+    assert ok >= 7, ok
