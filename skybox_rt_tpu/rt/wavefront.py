@@ -64,3 +64,20 @@ def traverse_sorted(closest_fn, orig, direction, scene_min, scene_max):
     perm, inv = sort_rays(orig, direction, scene_min, scene_max)
     prim, t, u, v = closest_fn(orig[perm], direction[perm])
     return prim[inv], t[inv], u[inv], v[inv]
+
+
+def tile_order_perm(width: int, height: int, tile: int = 32):
+    """Static permutation turning scanline ray order into pixel-tile order
+    (tile*tile consecutive rays per screen tile) — primary-ray blocks
+    become spatially compact, which is what makes the clustered kernel's
+    whole-tile AABB skips fire.  Returns (perm, inv) numpy int32 arrays:
+    rays[perm] is tile-ordered; results[inv] restores scanline order."""
+    import numpy as np
+
+    ys, xs = np.mgrid[0:height, 0:width]
+    key = (((ys // tile) * ((width + tile - 1) // tile) + (xs // tile))
+           * (tile * tile)
+           + (ys % tile) * tile + (xs % tile))
+    perm = np.argsort(key.ravel(), kind="stable").astype(np.int32)
+    inv = np.argsort(perm, kind="stable").astype(np.int32)
+    return perm, inv

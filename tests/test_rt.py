@@ -265,3 +265,16 @@ def test_textured_rt():
     hits = img[..., :3].sum(-1) > 0
     vals = img[..., :3].sum(-1)[hits]
     assert vals.max() > vals.min() * 2.0
+
+
+def test_tile_order_perm():
+    from skybox_rt_tpu.rt import wavefront
+
+    perm, inv = wavefront.tile_order_perm(8, 8, tile=4)
+    assert np.array_equal(np.sort(perm), np.arange(64))
+    assert np.array_equal(perm[inv], np.arange(64))
+    # first 16 entries = the 4x4 top-left tile, row-major
+    xs = perm[:16] % 8
+    ys = perm[:16] // 8
+    assert xs.max() < 4 and ys.max() < 4
+    assert np.array_equal(xs[:4], [0, 1, 2, 3]) and (ys[:4] == 0).all()
