@@ -88,15 +88,18 @@ def fit(loss_fn, params, *args, steps: int = 100, lr: float = 1e-2,
                                                       *args)
         loss_val = float(loss)
         if not np.isfinite(loss_val) or not _all_finite(grads):
-            # failure detected: roll back, damp the optimizer
+            # failure detected: roll back and damp the USER's optimizer by
+            # chaining a scale onto its updates (swapping optimizers here
+            # would pair the old opt_state with a new update rule)
             bad_steps += 1
             lr_scale *= 0.5
             params = good_params
-            opt_state = optimizer.init(params)
+            damped = optax.chain(optimizer, optax.scale(lr_scale))
+            opt_state = damped.init(params)
             tracing.trace_log(
                 1, f"step {i}: non-finite loss/grads, rolled back "
                    f"(lr_scale={lr_scale})")
-            step = make_step(loss_fn, optax.adam(lr * lr_scale))
+            step = make_step(loss_fn, damped)
             continue
         params = new_params
         good_params = params

@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..raster import edge as edge_mod
-
 
 def validate_binning(binned, width: int, height: int) -> None:
     """Structural invariants of a BinnedDrawcall; raises AssertionError."""
@@ -34,15 +32,11 @@ def validate_binning(binned, width: int, height: int) -> None:
     assert (txy[:, 1] * ts < height + ts).all()
 
 
-def coverage_conservation(binned, width: int, height: int,
-                          scissor=None) -> None:
+def coverage_conservation(binned, width: int, height: int) -> None:
     """The pixel-coverage assertion: per-pixel covered-prim counts computed
     through the tile structure equal the counts from a direct global
     evaluation of every primitive (no pixel lost or double-counted by
     binning).  Raises AssertionError on mismatch."""
-    import jax.numpy as jnp
-
-    scissor = scissor or (0, 0, width, height)
     edges = np.asarray(binned.edges)
     ts = 1 << binned.tile_logsize
 

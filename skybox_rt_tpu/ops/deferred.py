@@ -212,6 +212,9 @@ def render_drawcall(render_state: RenderState, texels, binned,
         from . import pallas_raster
         if not pallas_raster.supported(render_state, binned.tile_logsize):
             visibility = "xla"
+        elif (visibility == "pallas"
+              and jax.devices()[0].platform != "tpu"):
+            visibility = "pallas_interpret"   # Mosaic only lowers on TPU
     if not deferrable(render_state):
         return immediate.render_drawcall(render_state, texels, binned,
                                          fb_color, fb_ds)

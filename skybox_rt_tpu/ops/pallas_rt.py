@@ -47,6 +47,67 @@ def _pad_to(x, m, axis=0, fill=0.0):
     return jnp.pad(x, pad, constant_values=fill)
 
 
+def _mt_one(ox, oy, oz, dx, dy, dz, rec, t_min, best_t):
+    """One-triangle Möller–Trumbore splat against a ray tile
+    (intersect.py semantics).  rec: (16,) record row.
+    Returns (hit, t, u, v) with hit already bounded by (t_min, best_t)."""
+    v0x, v0y, v0z = rec[0], rec[1], rec[2]
+    e1x, e1y, e1z = rec[3], rec[4], rec[5]
+    e2x, e2y, e2z = rec[6], rec[7], rec[8]
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    valid = jnp.abs(det) > EPS
+    inv_det = jnp.where(valid, 1.0 / jnp.where(valid, det, 1.0), 0.0)
+    tvx = ox - v0x
+    tvy = oy - v0y
+    tvz = oz - v0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+    hit = (valid & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+           & (t > t_min) & (t < best_t))
+    return hit, t, u, v
+
+
+def _pack_rays(orig, direction):
+    """(R, 3) rays -> six (G, 8, 128) component arrays + (R, Rp, G)."""
+    R = orig.shape[0]
+    BLK = 8 * LANES
+    Rp = -(-R // BLK) * BLK
+    G = Rp // BLK
+
+    def comp(x, k):
+        return _pad_to(x[:, k], BLK).reshape(G, 8, LANES)
+
+    rays = [comp(orig, 0), comp(orig, 1), comp(orig, 2),
+            comp(direction, 0), comp(direction, 1), comp(direction, 2)]
+    return rays, R, Rp, G
+
+
+def _pack_tris(v0, e1, e2, order=None):
+    """(P, 3) triangle arrays -> (Pp, 16) records (optionally reordered)."""
+    tri = jnp.stack([v0[:, 0], v0[:, 1], v0[:, 2],
+                     e1[:, 0], e1[:, 1], e1[:, 2],
+                     e2[:, 0], e2[:, 1], e2[:, 2]], 1)       # (P, 9)
+    if order is not None:
+        tri = tri[order]
+    tri = jnp.pad(tri, ((0, 0), (0, 16 - 9)))
+    return _pad_to(tri, TRI_SUB, axis=0)                     # (Pp, 16)
+
+
+def _pack_tmax(t_max, G):
+    if t_max is None:
+        return jnp.full((G, 8, LANES), jnp.inf, F32)
+    # padded rays get t_max = -inf so they can never hit
+    return _pad_to(jnp.asarray(t_max, F32), 8 * LANES,
+                   fill=-jnp.inf).reshape(G, 8, LANES)
+
+
 def _make_kernel(num_tri_steps: int, t_min: float):
     def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                tri_ref,          # (Pp, 16) triangle records
@@ -66,30 +127,8 @@ def _make_kernel(num_tri_steps: int, t_min: float):
 
         def step(j, carry):
             best_t, best_p, best_u, best_v = carry
-            rec = tri_ref[j]                                 # (16,)
-            v0x, v0y, v0z = rec[0], rec[1], rec[2]
-            e1x, e1y, e1z = rec[3], rec[4], rec[5]
-            e2x, e2y, e2z = rec[6], rec[7], rec[8]
-
-            # Möller–Trumbore, one triangle against the (8, 128) ray tile
-            pvx = dy * e2z - dz * e2y
-            pvy = dz * e2x - dx * e2z
-            pvz = dx * e2y - dy * e2x
-            det = e1x * pvx + e1y * pvy + e1z * pvz
-            valid = jnp.abs(det) > EPS
-            inv_det = jnp.where(valid, 1.0 / jnp.where(valid, det, 1.0), 0.0)
-            tvx = ox - v0x
-            tvy = oy - v0y
-            tvz = oz - v0z
-            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-            qvx = tvy * e1z - tvz * e1y
-            qvy = tvz * e1x - tvx * e1z
-            qvz = tvx * e1y - tvy * e1x
-            v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-            t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-
-            hit = (valid & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                   & (t > t_min) & (t < best_t))
+            hit, t, u, v = _mt_one(ox, oy, oz, dx, dy, dz, tri_ref[j],
+                                   t_min, best_t)
             best_p = jnp.where(hit, j, best_p)
             best_u = jnp.where(hit, u, best_u)
             best_v = jnp.where(hit, v, best_v)
@@ -116,31 +155,11 @@ def closest_hit_pallas(orig, direction, v0, e1, e2, t_max=None,
     t_max: optional (R,) per-ray upper bound (default +inf).
     Returns (prim (R,) i32 [-1 miss], t, u, v), matching
     intersect.closest_hit_bruteforce (see tie-break note above)."""
-    R = orig.shape[0]
     P = v0.shape[0]
-    BLK = 8 * LANES                      # 1024 rays per program
-    Rp = -(-R // BLK) * BLK
-    G = Rp // BLK
-
-    def comp(x, k):
-        return _pad_to(x[:, k], BLK).reshape(G, 8, LANES)
-
-    rays = [comp(orig, 0), comp(orig, 1), comp(orig, 2),
-            comp(direction, 0), comp(direction, 1), comp(direction, 2)]
-
-    tri = jnp.stack([v0[:, 0], v0[:, 1], v0[:, 2],
-                     e1[:, 0], e1[:, 1], e1[:, 2],
-                     e2[:, 0], e2[:, 1], e2[:, 2]], 1)       # (P, 9)
-    tri = jnp.pad(tri, ((0, 0), (0, 16 - 9)))
-    tri = _pad_to(tri, TRI_SUB, axis=0)                      # (Pp, 16)
+    rays, R, Rp, G = _pack_rays(orig, direction)
+    tri = _pack_tris(v0, e1, e2)
     Pp = tri.shape[0]
-
-    if t_max is None:
-        tmax_arr = jnp.full((G, 8, LANES), jnp.inf, F32)
-    else:
-        # padded rays get t_max = -inf so they can never hit
-        tmax_arr = _pad_to(jnp.asarray(t_max, F32), BLK,
-                           fill=-jnp.inf).reshape(G, 8, LANES)
+    tmax_arr = _pack_tmax(t_max, G)
 
     kernel = _make_kernel(P, t_min)      # loop real prims only
     ray_spec = pl.BlockSpec((1, 8, LANES), lambda g: (g, 0, 0),
@@ -175,29 +194,9 @@ def closest_hit_pallas(orig, direction, v0, e1, e2, t_max=None,
 
 def _mt_update(ox, oy, oz, dx, dy, dz, rec, slot, t_min,
                st_ref, sp_ref, su_ref, sv_ref):
-    """One-triangle Möller–Trumbore against the (8, 128) ray tile with
-    running-best update into the scratch refs."""
-    v0x, v0y, v0z = rec[0], rec[1], rec[2]
-    e1x, e1y, e1z = rec[3], rec[4], rec[5]
-    e2x, e2y, e2z = rec[6], rec[7], rec[8]
-    pvx = dy * e2z - dz * e2y
-    pvy = dz * e2x - dx * e2z
-    pvz = dx * e2y - dy * e2x
-    det = e1x * pvx + e1y * pvy + e1z * pvz
-    valid = jnp.abs(det) > EPS
-    inv_det = jnp.where(valid, 1.0 / jnp.where(valid, det, 1.0), 0.0)
-    tvx = ox - v0x
-    tvy = oy - v0y
-    tvz = oz - v0z
-    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-    qvx = tvy * e1z - tvz * e1y
-    qvy = tvz * e1x - tvx * e1z
-    qvz = tvx * e1y - tvy * e1x
-    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+    """_mt_one with running-best update into the scratch refs."""
     best_t = st_ref[:]
-    hit = (valid & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-           & (t > t_min) & (t < best_t))
+    hit, t, u, v = _mt_one(ox, oy, oz, dx, dy, dz, rec, t_min, best_t)
     st_ref[:] = jnp.where(hit, t, best_t)
     sp_ref[:] = jnp.where(hit, slot, sp_ref[:])
     su_ref[:] = jnp.where(hit, u, su_ref[:])
@@ -315,29 +314,11 @@ def closest_hit_clustered(orig, direction, v0, e1, e2, clusters,
 
     clusters: dict from rt.bvh.build_clusters.
     Returns (prim (R,) i32 in ORIGINAL prim ids, t, u, v)."""
-    R = orig.shape[0]
     P = v0.shape[0]
-    Rp = -(-R // (8 * LANES)) * (8 * LANES)
-    G = Rp // (8 * LANES)
-
-    def comp(x, k):
-        return _pad_to(x[:, k], 8 * LANES).reshape(G, 8, LANES)
-
-    rays = [comp(orig, 0), comp(orig, 1), comp(orig, 2),
-            comp(direction, 0), comp(direction, 1), comp(direction, 2)]
-
+    rays, R, Rp, G = _pack_rays(orig, direction)
     order = jnp.asarray(clusters["order"])
-    tri = jnp.stack([v0[:, 0], v0[:, 1], v0[:, 2],
-                     e1[:, 0], e1[:, 1], e1[:, 2],
-                     e2[:, 0], e2[:, 1], e2[:, 2]], 1)[order]   # reordered
-    tri = jnp.pad(tri, ((0, 0), (0, 16 - 9)))
-    tri = _pad_to(tri, TRI_SUB, axis=0)
-
-    if t_max is None:
-        tmax_arr = jnp.full((G, 8, LANES), jnp.inf, F32)
-    else:
-        tmax_arr = _pad_to(jnp.asarray(t_max, F32), 8 * LANES,
-                           fill=-jnp.inf).reshape(G, 8, LANES)
+    tri = _pack_tris(v0, e1, e2, order=order)     # treelet-contiguous
+    tmax_arr = _pack_tmax(t_max, G)
 
     bt, bp, bu, bv = _clustered_call(
         rays, tri, tmax_arr,
@@ -346,14 +327,13 @@ def closest_hit_clustered(orig, direction, v0, e1, e2, clusters,
         jnp.asarray(clusters["aabb"], F32),
         t_min, interpret)
 
-    Rp_ = G * 8 * LANES
-    slot = bp.reshape(Rp_)[:R]
+    slot = bp.reshape(Rp)[:R]
     miss = (slot < 0) | (slot >= P)
     prim = jnp.where(miss, jnp.int32(-1),
                      order[jnp.clip(slot, 0, P - 1)])
-    t = jnp.where(miss, jnp.inf, bt.reshape(Rp_)[:R])
-    u = jnp.where(miss, 0.0, bu.reshape(Rp_)[:R])
-    v = jnp.where(miss, 0.0, bv.reshape(Rp_)[:R])
+    t = jnp.where(miss, jnp.inf, bt.reshape(Rp)[:R])
+    u = jnp.where(miss, 0.0, bu.reshape(Rp)[:R])
+    v = jnp.where(miss, 0.0, bv.reshape(Rp)[:R])
     return prim, t, u, v
 
 

@@ -63,7 +63,7 @@ def measure(mesh_sizes=None, size: int = 256, iters: int = 10,
         step = tile_shard.make_train_step(mesh, cfg, lr=1e-3)
 
         p = params
-        for _ in range(warmup):
+        for _ in range(max(warmup, 1)):      # >=1: the compile must land
             p, loss = step(p, arrays, target)
         jax.block_until_ready(loss)
         t0 = time.perf_counter()

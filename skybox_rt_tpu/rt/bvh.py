@@ -44,6 +44,9 @@ class BVH:
     node_first: np.ndarray
     node_count: np.ndarray
     prim_order: np.ndarray
+    # leaf capacity this tree was built with — traversals MUST test this
+    # many prims per leaf (pass bvh.leaf_size, not the module default)
+    leaf_size: int = LEAF_SIZE
     # preorder + escape-link layout for the stackless lockstep traversal
     # (computed lazily): node i's first child is i+1; `escape[i]` is the
     # preorder index to jump to when i's subtree is done (N = exit)
@@ -163,6 +166,7 @@ def build(verts: np.ndarray, faces: np.ndarray,
         node_first=np.asarray(node_first, np.int32),
         node_count=np.asarray(node_count, np.int32),
         prim_order=order.astype(np.int32),
+        leaf_size=leaf_size,
     )
 
 
@@ -373,7 +377,8 @@ def closest_hit_stackless(stackless_arrays, tri_arrays, orig, direction,
 
 def any_hit(bvh_arrays, tri_arrays, orig, direction, t_min=1e-4, t_max=1.0,
             leaf_size: int = LEAF_SIZE, stack_depth: int = STACK_DEPTH):
-    """Occlusion traversal (shadow rays): early-out on first hit."""
+    """Occlusion query via full closest-hit traversal (the per-ray-stack
+    path has no early-out; prefer any_hit_stackless on TPU)."""
     prim, t, _, _ = closest_hit(bvh_arrays, tri_arrays, orig, direction,
                                 t_min, t_max, leaf_size, stack_depth)
     return prim >= 0
@@ -381,7 +386,53 @@ def any_hit(bvh_arrays, tri_arrays, orig, direction, t_min=1e-4, t_max=1.0,
 
 def any_hit_stackless(stackless_arrays, tri_arrays, orig, direction,
                       t_min=1e-4, t_max=1.0, leaf_size: int = LEAF_SIZE):
-    prim, _, _, _ = closest_hit_stackless(
-        stackless_arrays, tri_arrays, orig, direction, t_min, t_max,
-        leaf_size)
-    return prim >= 0
+    """Occlusion traversal with a true early-out: a ray that finds ANY
+    hit in [t_min, t_max) jumps straight to the exit node, and the loop
+    ends as soon as every ray is done or occluded."""
+    nmin, nmax, nfirst, ncount, escape, prim_order = stackless_arrays
+    v0, e1, e2 = tri_arrays
+    N = nmin.shape[0]
+    P = prim_order.shape[0]
+
+    safe = jnp.abs(direction) > 1e-12
+    inv_d = jnp.where(safe, 1.0 / jnp.where(safe, direction, 1.0), 1e30)
+    ks = jnp.arange(leaf_size)
+    tmax_arr = jnp.broadcast_to(jnp.asarray(t_max, F32), orig.shape[:1])
+
+    def cond(state):
+        node, _ = state
+        return jnp.any(node < N)
+
+    def body(state):
+        node, occluded = state
+        active = node < N
+        nc = jnp.minimum(node, N - 1)
+
+        bmin = nmin[nc]
+        bmax = nmax[nc]
+        t0 = (bmin - orig) * inv_d
+        t1 = (bmax - orig) * inv_d
+        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        hit_box = (jnp.maximum(tn, 0.0) <= jnp.minimum(tf, tmax_arr)) & active
+
+        cnt = ncount[nc]
+        is_leaf = cnt > 0
+        first = nfirst[nc]
+        pids = prim_order[jnp.clip(first[:, None] + ks[None, :], 0, P - 1)]
+        pm = hit_box[:, None] & is_leaf[:, None] & (ks[None, :] < cnt[:, None])
+        h, t, _, _ = intersect.moller_trumbore(
+            orig[:, None], direction[:, None],
+            v0[pids], e1[pids], e2[pids], t_min, jnp.inf)
+        h = h & pm & (t < tmax_arr[:, None])
+        occluded = occluded | jnp.any(h, axis=1)
+
+        descend = hit_box & ~is_leaf
+        nxt = jnp.where(descend, node + 1, escape[nc])
+        node = jnp.where(active & ~occluded, nxt, N)   # early-out
+        return (node, occluded)
+
+    state = (jnp.zeros(orig.shape[:1], I32),
+             jnp.zeros(orig.shape[:1], bool))
+    _, occluded = jax.lax.while_loop(cond, body, state)
+    return occluded

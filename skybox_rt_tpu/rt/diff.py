@@ -42,13 +42,15 @@ def solve_hit(o, d, v0, e1, e2):
 
 
 def closest_hit_diff(verts, faces, o, d, bvh_arrays=None,
-                     t_min=1e-4, t_max=jnp.inf):
+                     t_min=1e-4, t_max=jnp.inf,
+                     leaf_size=bvh_mod.LEAF_SIZE):
     """Differentiable closest hit.
 
     verts: (V, 3) traced (gradients flow); faces: (P, 3) static int.
     Returns (prim (R,) i32 stop-grad, t, u, v differentiable).
-    Uses the BVH when bvh_arrays given, else brute force (also fine for
-    grads since prim selection is detached either way)."""
+    Uses the BVH when bvh_arrays given (pass leaf_size=bvh.leaf_size when
+    the tree was built with a non-default capacity), else brute force
+    (also fine for grads since prim selection is detached either way)."""
     tri = intersect.triangle_arrays(verts, faces)
     tri_ng = tuple(jax.lax.stop_gradient(a) for a in tri)
     o_ng = jax.lax.stop_gradient(o)
@@ -56,7 +58,8 @@ def closest_hit_diff(verts, faces, o, d, bvh_arrays=None,
 
     if bvh_arrays is not None:
         prim, _, _, _ = bvh_mod.closest_hit(bvh_arrays, tri_ng, o_ng, d_ng,
-                                            t_min, t_max)
+                                            t_min, t_max,
+                                            leaf_size=leaf_size)
     else:
         prim, _, _, _ = intersect.closest_hit_bruteforce(
             o_ng, d_ng, *tri_ng, t_min, t_max)

@@ -25,6 +25,10 @@ from . import intersect
 F32 = jnp.float32
 I32 = jnp.int32
 
+# blocked-kernel VMEM residency bound (ops/pallas_rt.py): beyond this the
+# tracer falls back to the stackless BVH engine
+PALLAS_MAX_TRIS = 15000
+
 
 @dataclasses.dataclass(frozen=True)
 class Camera:
@@ -127,32 +131,50 @@ def make_intersectors(scene: RTScene, cfg: RTConfig):
     tri = intersect.triangle_arrays(jnp.asarray(scene.verts),
                                     jnp.asarray(scene.faces))
     engine = cfg.engine if cfg.use_bvh else "brute"
+    if engine == "pallas" and scene.faces.shape[0] > PALLAS_MAX_TRIS:
+        # the blocked kernel keeps the whole triangle array VMEM-resident
+        # (ops/pallas_rt.py docstring) — large scenes take the BVH path
+        engine = "bvh"
     if engine == "pallas":
         from ..ops import pallas_rt
+        from . import wavefront
         import jax
 
         interpret = jax.devices()[0].platform not in ("tpu",)
+        clusters = bvh_mod.build_clusters(scene.bvh)
+        smin = scene.verts.min(0) - 1e-3
+        smax = scene.verts.max(0) + 1e-3
 
+        # cluster culling needs coherent ray blocks: Morton-sort every
+        # batch (2x measured on primary rays at 1024^2; tile-ordered
+        # camera batches sort to near-identity, so the cost is one argsort)
         def closest(o, d, t_max=jnp.inf):
             tm = None if t_max is jnp.inf else jnp.broadcast_to(
                 jnp.asarray(t_max, F32), o.shape[:1])
-            return pallas_rt.closest_hit_pallas(o, d, *tri, t_max=tm,
-                                                interpret=interpret)
+
+            def fn(o_, d_):
+                return pallas_rt.closest_hit_clustered(
+                    o_, d_, *tri, clusters, t_max=tm, interpret=interpret)
+
+            return wavefront.traverse_sorted(fn, o, d, smin, smax)
 
         def occluded(o, d, t_max):
-            return pallas_rt.any_hit_pallas(o, d, *tri, t_max=t_max,
-                                            interpret=interpret)
+            tm = jnp.broadcast_to(jnp.asarray(t_max, F32), o.shape[:1])
+            prim, _, _, _ = closest(o, d, t_max=tm)
+            return prim >= 0
     elif engine == "bvh":
         # stackless lockstep traversal (preorder escape links); the
         # per-ray-stack variant compiles poorly on real hardware
         bvh_arr = scene.bvh.as_stackless_arrays()
+        ls = scene.bvh.leaf_size
 
         def closest(o, d, t_max=jnp.inf):
             return bvh_mod.closest_hit_stackless(bvh_arr, tri, o, d,
-                                                 t_max=t_max)
+                                                 t_max=t_max, leaf_size=ls)
 
         def occluded(o, d, t_max):
-            return bvh_mod.any_hit_stackless(bvh_arr, tri, o, d, t_max=t_max)
+            return bvh_mod.any_hit_stackless(bvh_arr, tri, o, d,
+                                             t_max=t_max, leaf_size=ls)
     else:
         def closest(o, d, t_max=jnp.inf):
             return intersect.closest_hit_bruteforce(*((o, d) + tri),

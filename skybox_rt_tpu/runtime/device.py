@@ -65,7 +65,10 @@ class Buffer:
             raise DeviceError(
                 f"shape/dtype mismatch: {new_array.shape}/{new_array.dtype} "
                 f"vs {self._array.shape}/{self._array.dtype}")
-        self._array = jnp.asarray(new_array)
+        # keep the buffer on the device it was allocated on (the vx_mem
+        # placement contract), not wherever the default backend lives
+        dev = list(self._array.devices())[0]
+        self._array = jax.device_put(jnp.asarray(new_array), dev)
 
 
 class Device:
@@ -119,14 +122,19 @@ class Device:
         if timeout_s is None:
             jax.block_until_ready(out)
         else:
-            # poll-style wait with deadline (async dispatch continues)
+            # true watchdog: poll readiness like vx_ready_wait's 1 s loop
+            # (runtime/simx/vortex.cpp:195-209) instead of blocking —
+            # a hung dispatch raises instead of waiting forever
             deadline = t0 + timeout_s
-            try:
-                jax.block_until_ready(out)
-            finally:
+            leaves = [x for x in jax.tree_util.tree_leaves(out)
+                      if hasattr(x, "is_ready")]
+            poll = min(max(timeout_s / 100.0, 0.001), 1.0)
+            while not all(x.is_ready() for x in leaves):
                 if time.perf_counter() > deadline:
                     raise DeviceError(
                         f"device run exceeded {timeout_s}s timeout")
+                time.sleep(poll)
+            jax.block_until_ready(out)   # surface any execution error
         self.perf.count("kernel_launches", 1)
         self.perf.add_time("device_ms", (time.perf_counter() - t0) * 1e3)
         return out
