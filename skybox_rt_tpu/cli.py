@@ -128,8 +128,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("-r", "--reference", default=None,
                    help="golden PNG to compare against (tolerance 1)")
     r.add_argument("-k", "--tile-logsize", type=int, default=5)
-    r.add_argument("--mode", choices=("immediate", "deferred"),
-                   default="immediate")
+    r.add_argument("--mode", choices=("immediate", "deferred", "pallas"),
+                   default="deferred",
+                   help="deferred/pallas are exact-equivalent fast paths "
+                        "(auto-fallback per draw); immediate is the oracle")
     r.add_argument("--perf", action="store_true",
                    help="dump perf counters (vx_dump_perf analog)")
     r.set_defaults(fn=_cmd_render)

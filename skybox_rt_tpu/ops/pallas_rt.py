@@ -339,6 +339,9 @@ def closest_hit_clustered(orig, direction, v0, e1, e2, clusters,
 
 def any_hit_pallas(orig, direction, v0, e1, e2, t_max=1.0,
                    t_min: float = 1e-4, interpret: bool = False):
+    """Occlusion via the blocked kernel.  Note: no per-ray early-out (the
+    kernel always streams all triangles); the t_max bound only narrows
+    the hit window.  rt.bvh.any_hit_stackless has a true early-out."""
     R = orig.shape[0]
     tm = (jnp.full((R,), t_max, F32) if jnp.ndim(t_max) == 0
           else jnp.asarray(t_max, F32))
