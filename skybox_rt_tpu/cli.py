@@ -55,6 +55,10 @@ def _cmd_render(args) -> int:
         dev.perf.count("drawcalls", stats.drawcalls)
         dev.perf.count("prims_binned", stats.prims_binned)
         dev.perf.count("tiles", stats.tiles)
+        for k, v in stats.traffic.items():
+            if k in ("tiles", "prims"):      # already counted above
+                continue
+            dev.perf.count(k, int(v))
         dev.perf.add_time("frame_ms", elapsed_ms)
         dev.dump_perf()
 

@@ -34,6 +34,13 @@ class FrameStats:
     drawcalls: int = 0
     prims_binned: int = 0
     tiles: int = 0
+    # analytic per-unit traffic (runtime.perf.drawcall_traffic, the
+    # raster/tex/om MPM-counter analog), summed over draws
+    traffic: dict = dataclasses.field(default_factory=dict)
+
+    def add_traffic(self, t: dict):
+        for k, v in t.items():
+            self.traffic[k] = self.traffic.get(k, 0) + v
 
 
 def make_texture_binding(trace: cgltrace.CGLTrace, drawcall,
@@ -118,9 +125,12 @@ def render_trace(trace: cgltrace.CGLTrace, width: int, height: int,
         )
         fbc, fbd = render_dc(render_state, texels, binned, fbc, fbd)
         if stats is not None:
+            from ..runtime import perf as perf_mod
+
             stats.drawcalls += 1
             stats.prims_binned += binned.num_prims
             stats.tiles += binned.num_tiles
+            stats.add_traffic(perf_mod.drawcall_traffic(binned, render_state))
 
     return np.asarray(fbc)[:height, :width]
 
