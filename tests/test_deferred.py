@@ -38,9 +38,10 @@ def test_compile_frame_modes_agree():
 
     trace = cgltrace.load_cached(cgltrace.trace_path("tekkaman"))
     frames = {}
-    for mode in ("immediate", "deferred"):
+    for mode in ("immediate", "deferred", "pallas"):
         fn, arrays = driver.compile_frame(trace, 64, 64, mode=mode)
         fb = fn(arrays)
         jax.block_until_ready(fb)
         frames[mode] = np.asarray(fb)
     np.testing.assert_array_equal(frames["immediate"], frames["deferred"])
+    np.testing.assert_array_equal(frames["immediate"], frames["pallas"])

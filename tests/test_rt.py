@@ -278,3 +278,17 @@ def test_tile_order_perm():
     ys = perm[:16] // 8
     assert xs.max() < 4 and ys.max() < 4
     assert np.array_equal(xs[:4], [0, 1, 2, 3]) and (ys[:4] == 0).all()
+
+
+def test_large_scene_falls_back_to_bvh_engine():
+    """Scenes beyond the blocked kernel's VMEM bound must transparently
+    take the stackless BVH engine (tracer.PALLAS_MAX_TRIS guard)."""
+    verts, faces = scenes.icosphere(subdiv=5)     # 20480 tris > 15000
+    assert faces.shape[0] > tracer.PALLAS_MAX_TRIS
+    colors = np.ones((verts.shape[0], 4), np.float32)
+    scene = tracer.RTScene(verts=verts, faces=faces, colors=colors)
+    cam = tracer.Camera(eye=(0, 0, 3), look_at=(0, 0, 0))
+    cfg = tracer.RTConfig(width=16, height=16, engine="pallas")
+    img = np.asarray(tracer.render(scene, cam, cfg))
+    assert np.isfinite(img).all()
+    assert (img[..., :3].sum(-1) > 0).any()
