@@ -203,8 +203,31 @@ def _mt_update(ox, oy, oz, dx, dy, dz, rec, slot, t_min,
     sv_ref[:] = jnp.where(hit, v, sv_ref[:])
 
 
+def _inv_dir(d):
+    safe = jnp.abs(d) > 1e-12
+    return jnp.where(safe, 1.0 / jnp.where(safe, d, 1.0), 1e30)
+
+
+def _slab(ca_ref, c, ox, oy, oz, inv_dx, inv_dy, inv_dz, far):
+    """Cluster-AABB slab test vs the whole ray tile (SMEM scalars).
+    Returns (tn, tf) with tf already clipped to `far`."""
+    t0x = (ca_ref[c, 0] - ox) * inv_dx
+    t1x = (ca_ref[c, 3] - ox) * inv_dx
+    t0y = (ca_ref[c, 1] - oy) * inv_dy
+    t1y = (ca_ref[c, 4] - oy) * inv_dy
+    t0z = (ca_ref[c, 2] - oz) * inv_dz
+    t1z = (ca_ref[c, 5] - oz) * inv_dz
+    tn = jnp.maximum(
+        jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+        jnp.maximum(jnp.minimum(t0z, t1z), 0.0))
+    tf = jnp.minimum(
+        jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+        jnp.minimum(jnp.maximum(t0z, t1z), far))
+    return tn, tf
+
+
 def _make_clustered_kernel(num_clusters: int, t_min: float):
-    def kernel(cf_ref, cc_ref, ca_ref,            # scalar-prefetch (SMEM)
+    def kernel(perm_ref, oct_ref, cf_ref, cc_ref, ca_ref,  # SMEM prefetch
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                tri_ref, tmax_ref,
                bt_ref, bp_ref, bu_ref, bv_ref,
@@ -221,27 +244,18 @@ def _make_clustered_kernel(num_clusters: int, t_min: float):
         su_ref[:] = jnp.zeros(ox.shape, F32)
         sv_ref[:] = jnp.zeros(ox.shape, F32)
 
-        safe_x = jnp.abs(dx) > 1e-12
-        inv_dx = jnp.where(safe_x, 1.0 / jnp.where(safe_x, dx, 1.0), 1e30)
-        safe_y = jnp.abs(dy) > 1e-12
-        inv_dy = jnp.where(safe_y, 1.0 / jnp.where(safe_y, dy, 1.0), 1e30)
-        safe_z = jnp.abs(dz) > 1e-12
-        inv_dz = jnp.where(safe_z, 1.0 / jnp.where(safe_z, dz, 1.0), 1e30)
+        inv_dx = _inv_dir(dx)
+        inv_dy = _inv_dir(dy)
+        inv_dz = _inv_dir(dz)
+        # front-to-back cluster visitation for this block's direction
+        # octant: best_t shrinks early, so the slab far-bound prunes the
+        # far clusters without touching their triangles
+        oct = oct_ref[pl.program_id(0)]
 
-        def cstep(c, _):
-            # cluster AABB slab test vs the whole ray tile (SMEM scalars)
-            t0x = (ca_ref[c, 0] - ox) * inv_dx
-            t1x = (ca_ref[c, 3] - ox) * inv_dx
-            t0y = (ca_ref[c, 1] - oy) * inv_dy
-            t1y = (ca_ref[c, 4] - oy) * inv_dy
-            t0z = (ca_ref[c, 2] - oz) * inv_dz
-            t1z = (ca_ref[c, 5] - oz) * inv_dz
-            tn = jnp.maximum(
-                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-                jnp.maximum(jnp.minimum(t0z, t1z), 0.0))
-            tf = jnp.minimum(
-                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-                jnp.minimum(jnp.maximum(t0z, t1z), st_ref[:]))
+        def cstep(k, _):
+            c = perm_ref[oct, k]
+            tn, tf = _slab(ca_ref, c, ox, oy, oz,
+                           inv_dx, inv_dy, inv_dz, st_ref[:])
             any_hit = jnp.any(tn <= tf)
 
             @pl.when(any_hit)
@@ -267,17 +281,39 @@ def _make_clustered_kernel(num_clusters: int, t_min: float):
     return kernel
 
 
+def _octant_perms(cl_aabb):
+    """(8, C) i32: cluster visit order per direction octant — ascending
+    centroid projection along the octant's sign vector = near-to-far."""
+    cen = (cl_aabb[:, 0:3] + cl_aabb[:, 3:6]) * 0.5        # (C, 3)
+    signs = jnp.asarray([[1 if o & (1 << k) else -1 for k in range(3)]
+                         for o in range(8)], F32)           # (8, 3)
+    keys = signs @ cen.T                                    # (8, C)
+    return jnp.argsort(keys, axis=1).astype(jnp.int32)
+
+
+def _block_octants(rays):
+    """(G,) i32 dominant direction octant per 1024-ray block
+    (bit k set <=> mean d[k] > 0)."""
+    dx, dy, dz = rays[3], rays[4], rays[5]                  # (G, 8, 128)
+    oct = ((jnp.sum(dx, (1, 2)) > 0).astype(jnp.int32)
+           | ((jnp.sum(dy, (1, 2)) > 0).astype(jnp.int32) << 1)
+           | ((jnp.sum(dz, (1, 2)) > 0).astype(jnp.int32) << 2))
+    return oct
+
+
 @functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
 def _clustered_call(rays, tri, tmax_arr, cl_first, cl_count, cl_aabb,
                     t_min, interpret):
     G = rays[0].shape[0]
     Pp = tri.shape[0]
     C = cl_first.shape[0]
+    perm = _octant_perms(cl_aabb)
+    octs = _block_octants(rays)
     kernel = _make_clustered_kernel(C, t_min)
     ray_spec = pl.BlockSpec((1, 8, LANES), lambda g, *_: (g, 0, 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,           # first, count, aabb in SMEM
+        num_scalar_prefetch=5,           # perm, oct, first, count, aabb
         grid=(G,),
         in_specs=[ray_spec] * 6 + [
             pl.BlockSpec((Pp, 16), lambda g, *_: (0, 0),
@@ -300,7 +336,7 @@ def _clustered_call(rays, tri, tmax_arr, cl_first, cl_count, cl_aabb,
             jax.ShapeDtypeStruct((G, 8, LANES), F32),
         ),
         interpret=interpret,
-    )(cl_first, cl_count, cl_aabb, *rays, tri, tmax_arr)
+    )(perm, octs, cl_first, cl_count, cl_aabb, *rays, tri, tmax_arr)
 
 
 def closest_hit_clustered(orig, direction, v0, e1, e2, clusters,
@@ -309,11 +345,15 @@ def closest_hit_clustered(orig, direction, v0, e1, e2, clusters,
     """Cluster-culled closest hit: BVH treelets (rt.bvh.build_clusters)
     gate whole triangle ranges behind a per-ray-block AABB test with a
     whole-tile skip — the algorithmic lever the flat kernel lacks.
+    Clusters are visited front-to-back per ray-block direction octant so
+    best_t tightens early and the slab far-bound prunes far clusters.
     Ray blocks should be spatially coherent (camera tiles or
     rt.wavefront-sorted) for the skips to fire.
 
     clusters: dict from rt.bvh.build_clusters.
-    Returns (prim (R,) i32 in ORIGINAL prim ids, t, u, v)."""
+    Returns (prim (R,) i32 in ORIGINAL prim ids, t, u, v).  Exact-tie
+    winners (two prims at identical t) follow visit order, which is
+    octant-dependent — unlike the flat kernel's lowest-prim-id rule."""
     P = v0.shape[0]
     rays, R, Rp, G = _pack_rays(orig, direction)
     order = jnp.asarray(clusters["order"])
@@ -337,11 +377,106 @@ def closest_hit_clustered(orig, direction, v0, e1, e2, clusters,
     return prim, t, u, v
 
 
+def _make_clustered_anyhit_kernel(num_clusters: int, t_min: float):
+    def kernel(cf_ref, cc_ref, ca_ref,            # scalar-prefetch (SMEM)
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               tri_ref, tmax_ref,
+               oc_ref):                           # out: (1, 8, 128) i32
+        ox = ox_ref[0]
+        oy = oy_ref[0]
+        oz = oz_ref[0]
+        dx = dx_ref[0]
+        dy = dy_ref[0]
+        dz = dz_ref[0]
+        tmax = tmax_ref[0]
+
+        oc_ref[0] = jnp.zeros(ox.shape, I32)
+
+        inv_dx = _inv_dir(dx)
+        inv_dy = _inv_dir(dy)
+        inv_dz = _inv_dir(dz)
+
+        def cstep(c, _):
+            live = oc_ref[0] == 0
+            tn, tf = _slab(ca_ref, c, ox, oy, oz,
+                           inv_dx, inv_dy, inv_dz, tmax)
+            # skip the cluster when no *unoccluded* ray overlaps it; once
+            # the whole tile is occluded every remaining cluster skips —
+            # the early-out the flat kernel lacks
+            test = jnp.any(live & (tn <= tf))
+
+            @pl.when(test)
+            def _():
+                first = cf_ref[c]
+
+                def tstep(k, _):
+                    hit, _, _, _ = _mt_one(ox, oy, oz, dx, dy, dz,
+                                           tri_ref[first + k], t_min, tmax)
+                    oc_ref[0] = jnp.where(hit, 1, oc_ref[0])
+                    return 0
+
+                jax.lax.fori_loop(0, cc_ref[c], tstep, 0)
+            return 0
+
+        jax.lax.fori_loop(0, num_clusters, cstep, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
+def _clustered_anyhit_call(rays, tri, tmax_arr, cl_first, cl_count, cl_aabb,
+                           t_min, interpret):
+    G = rays[0].shape[0]
+    Pp = tri.shape[0]
+    C = cl_first.shape[0]
+    kernel = _make_clustered_anyhit_kernel(C, t_min)
+    ray_spec = pl.BlockSpec((1, 8, LANES), lambda g, *_: (g, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,           # first, count, aabb in SMEM
+        grid=(G,),
+        in_specs=[ray_spec] * 6 + [
+            pl.BlockSpec((Pp, 16), lambda g, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            ray_spec,
+        ],
+        out_specs=pl.BlockSpec((1, 8, LANES), lambda g, *_: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G, 8, LANES), I32),
+        interpret=interpret,
+    )(cl_first, cl_count, cl_aabb, *rays, tri, tmax_arr)
+
+
+def any_hit_clustered(orig, direction, v0, e1, e2, clusters, t_max=1.0,
+                      t_min: float = 1e-4, interpret: bool = False):
+    """Cluster-culled occlusion test: treelet AABB gating restricted to
+    still-unoccluded rays, so a fully-occluded tile skips every remaining
+    cluster (per-tile early-out).  Shadow/occlusion twin of
+    closest_hit_clustered.  Returns (R,) bool."""
+    rays, R, Rp, G = _pack_rays(orig, direction)
+    tri = _pack_tris(v0, e1, e2, order=jnp.asarray(clusters["order"]))
+    tm = (jnp.full((orig.shape[0],), t_max, F32) if jnp.ndim(t_max) == 0
+          else jnp.asarray(t_max, F32))
+    tmax_arr = _pack_tmax(tm, G)
+
+    occ = _clustered_anyhit_call(
+        rays, tri, tmax_arr,
+        jnp.asarray(clusters["first"], jnp.int32),
+        jnp.asarray(clusters["count"], jnp.int32),
+        jnp.asarray(clusters["aabb"], F32),
+        t_min, interpret)
+    return occ.reshape(Rp)[:R] > 0
+
+
 def any_hit_pallas(orig, direction, v0, e1, e2, t_max=1.0,
                    t_min: float = 1e-4, interpret: bool = False):
     """Occlusion via the blocked kernel.  Note: no per-ray early-out (the
     kernel always streams all triangles); the t_max bound only narrows
-    the hit window.  rt.bvh.any_hit_stackless has a true early-out."""
+    the hit window.  any_hit_clustered has the per-tile early-out."""
     R = orig.shape[0]
     tm = (jnp.full((R,), t_max, F32) if jnp.ndim(t_max) == 0
           else jnp.asarray(t_max, F32))

@@ -159,9 +159,14 @@ def make_intersectors(scene: RTScene, cfg: RTConfig):
             return wavefront.traverse_sorted(fn, o, d, smin, smax)
 
         def occluded(o, d, t_max):
+            # clustered any-hit: AABB gating over still-unoccluded rays
+            # with per-tile early-out (vs a full closest-hit stream)
             tm = jnp.broadcast_to(jnp.asarray(t_max, F32), o.shape[:1])
-            prim, _, _, _ = closest(o, d, t_max=tm)
-            return prim >= 0
+            perm, inv = wavefront.sort_rays(o, d, smin, smax)
+            occ = pallas_rt.any_hit_clustered(
+                o[perm], d[perm], *tri, clusters, t_max=tm[perm],
+                interpret=interpret)
+            return occ[inv]
     elif engine == "bvh":
         # stackless lockstep traversal (preorder escape links); the
         # per-ray-stack variant compiles poorly on real hardware
@@ -219,9 +224,8 @@ def shade_hits(scene_arrays, cfg: RTConfig, occluded, o, d, prim, t, u, v):
     return rgb, hit, pt, n
 
 
-def render(scene: RTScene, cam: Camera, cfg: RTConfig):
-    """Full RT render -> (H, W, 4) float32 image (row 0 = bottom)."""
-    scene = scene.finalize()
+def scene_shade_arrays(scene: RTScene, cfg: RTConfig) -> dict:
+    """The replicated per-scene arrays shade_hits consumes."""
     scene_arrays = {
         "faces": jnp.asarray(scene.faces),
         "normals": jnp.asarray(scene.normals),
@@ -230,17 +234,20 @@ def render(scene: RTScene, cam: Camera, cfg: RTConfig):
     if cfg.textured:
         scene_arrays["uvs"] = jnp.asarray(scene.uvs)
         scene_arrays["texture"] = jnp.asarray(scene.texture)
+    return scene_arrays
 
-    closest, occluded = make_intersectors(scene, cfg)
-    o, d = camera_rays(cam, cfg.width, cfg.height)
 
+def trace_rays(scene_arrays, cfg: RTConfig, closest, occluded,
+               reflectivity: float, o, d):
+    """Trace + shade one ray batch -> (R, 4) RGBA.  The per-batch body of
+    render(), shared with the mesh-sharded path (parallel.ray_shard)."""
     prim, t, u, v = closest(o, d)
     rgb, hit, pt, n = shade_hits(scene_arrays, cfg, occluded,
                                  o, d, prim, t, u, v)
 
     # mirror bounces: active-mask iteration (divergence as predication)
-    if cfg.bounces > 0 and scene.reflectivity > 0:
-        refl = F32(scene.reflectivity)
+    if cfg.bounces > 0 and reflectivity > 0:
+        refl = F32(reflectivity)
         weight = jnp.where(hit, refl, 0.0)[..., None]
         cur_o, cur_d, cur_n = pt, d, n
         for _ in range(cfg.bounces):
@@ -257,5 +264,15 @@ def render(scene: RTScene, cam: Camera, cfg: RTConfig):
 
     bg = jnp.asarray(cfg.background, F32)
     out = jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], -1)
-    img = jnp.where(hit[..., None], out, bg)
+    return jnp.where(hit[..., None], out, bg)
+
+
+def render(scene: RTScene, cam: Camera, cfg: RTConfig):
+    """Full RT render -> (H, W, 4) float32 image (row 0 = bottom)."""
+    scene = scene.finalize()
+    scene_arrays = scene_shade_arrays(scene, cfg)
+    closest, occluded = make_intersectors(scene, cfg)
+    o, d = camera_rays(cam, cfg.width, cfg.height)
+    img = trace_rays(scene_arrays, cfg, closest, occluded,
+                     scene.reflectivity, o, d)
     return img.reshape(cfg.height, cfg.width, 4)

@@ -111,3 +111,37 @@ def test_build_clusters_structure():
         assert f == pos
         pos += c
     assert pos == P
+
+
+def test_anyhit_clustered_matches_bruteforce():
+    """Clustered occlusion kernel (per-tile early-out) vs brute force."""
+    from skybox_rt_tpu.rt import bvh as bvh_mod
+
+    verts, faces = scenes.icosphere(subdiv=2)
+    tri = intersect.triangle_arrays(jnp.asarray(verts), jnp.asarray(faces))
+    bvh = bvh_mod.build(verts, faces)
+    clusters = bvh_mod.build_clusters(bvh, max_tris=64)
+
+    o, d = _rays(1500, seed=11)
+    for t_max in (0.5, 2.0, 1e8):
+        occ_b = intersect.any_hit_bruteforce(o, d, *tri, t_max=t_max)
+        occ_c = pallas_rt.any_hit_clustered(o, d, *tri, clusters,
+                                            t_max=t_max, interpret=INTERPRET)
+        np.testing.assert_array_equal(np.asarray(occ_b), np.asarray(occ_c))
+
+
+def test_anyhit_clustered_per_ray_tmax():
+    from skybox_rt_tpu.rt import bvh as bvh_mod
+
+    verts, faces = scenes.icosphere(subdiv=1)
+    tri = intersect.triangle_arrays(jnp.asarray(verts), jnp.asarray(faces))
+    bvh = bvh_mod.build(verts, faces)
+    clusters = bvh_mod.build_clusters(bvh, max_tris=32)
+
+    o, d = _rays(700, seed=13)
+    rng = np.random.default_rng(17)
+    tm = jnp.asarray(rng.uniform(0.1, 5.0, size=700).astype(np.float32))
+    occ_b = intersect.any_hit_bruteforce(o, d, *tri, t_max=tm[:, None])
+    occ_c = pallas_rt.any_hit_clustered(o, d, *tri, clusters, t_max=tm,
+                                        interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(occ_b), np.asarray(occ_c))
