@@ -96,13 +96,14 @@ def main():
     cfg = tracer.RTConfig(width=W, height=H, shadows=True, engine="pallas")
 
     t0 = time.perf_counter()
-    img = tracer.render(scene, cam, cfg)
+    frame, (fo, fd) = tracer.make_frame_fn(scene, cam, cfg)
+    img = frame(fo, fd)
     jax.block_until_ready(img)
     print(f"tracer frame compile+run1: {time.perf_counter()-t0:.0f}s",
           flush=True)
-    t = timeit(lambda: tracer.render(scene, cam, cfg), n=5)
+    t = timeit(lambda: frame(fo, fd), n=5)
     rays = 2 * R      # primary + shadow
-    print(f"tracer frame (primary+shadow): {t*1e3:.2f} ms  "
+    print(f"tracer frame (primary+shadow, 1 dispatch): {t*1e3:.2f} ms  "
           f"{rays/t/1e6:.1f} Mrays/s", flush=True)
 
 

@@ -256,13 +256,17 @@ def _cmd_rt(args) -> int:
                           shadows=not args.no_shadows, engine=args.engine,
                           background=(0.05, 0.07, 0.1, 1.0))
     t0 = time.perf_counter()
-    img = tracer.render(scene, cam, cfg)
+    frame, (o, d) = tracer.make_frame_fn(scene, cam, cfg)
+    img = frame(o, d)
     jax.block_until_ready(img)
     dt = time.perf_counter() - t0
+    img = frame(o, d)             # steady state: one jitted dispatch
+    jax.block_until_ready(img)
+    dt2 = time.perf_counter() - t0 - dt
     rays = args.width * args.height * (
         1 + (1 if cfg.shadows else 0) + args.bounces)
-    print(f"rendered in {dt*1e3:.1f} ms (incl. compile), "
-          f"~{rays/1e6:.2f}M rays")
+    print(f"rendered in {dt*1e3:.1f} ms (incl. compile); steady-state "
+          f"{dt2*1e3:.1f} ms/frame, ~{rays/1e6:.2f}M rays/frame")
 
     out = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
     Image.fromarray(out[::-1], "RGBA").save(args.output)

@@ -29,10 +29,21 @@ def render_sharded(scene: tracer.RTScene, cam: tracer.Camera,
     Returns (H, W, 4) float32, identical to the single-device render
     (asserted in tests/test_ray_shard.py).
     """
+    from ..rt import wavefront
+
     scene = scene.finalize()
     scene_arrays = tracer.scene_shade_arrays(scene, cfg)
     closest, occluded = tracer.make_intersectors(scene, cfg)
     o, d = tracer.camera_rays(cam, cfg.width, cfg.height)
+
+    # same pixel-tile ordering as tracer.render: each device's block is
+    # then a run of compact screen tiles (coherence for the clustered
+    # kernel AND balanced tile ownership)
+    perm = inv = None
+    if scene.faces.shape[0] <= tracer.PALLAS_MAX_TRIS and \
+            (cfg.engine if cfg.use_bvh else "brute") == "pallas":
+        perm, inv = wavefront.tile_order_perm(cfg.width, cfg.height, 32)
+        o, d = o[perm], d[perm]
 
     axis = mesh.axis_names[0]
     n = int(mesh.devices.size)
@@ -55,4 +66,7 @@ def render_sharded(scene: tracer.RTScene, cam: tracer.Camera,
     # check even though every carry is per-ray and purely local
     img = shard_map(block, mesh=mesh, in_specs=(P(axis), P(axis)),
                     out_specs=P(axis), check_vma=False)(o, d)
-    return img[:R].reshape(cfg.height, cfg.width, 4)
+    img = img[:R]
+    if inv is not None:
+        img = img[inv]
+    return img.reshape(cfg.height, cfg.width, 4)

@@ -142,31 +142,26 @@ def make_intersectors(scene: RTScene, cfg: RTConfig):
 
         interpret = jax.devices()[0].platform not in ("tpu",)
         clusters = bvh_mod.build_clusters(scene.bvh)
-        smin = scene.verts.min(0) - 1e-3
-        smax = scene.verts.max(0) + 1e-3
 
-        # cluster culling needs coherent ray blocks: Morton-sort every
-        # batch (2x measured on primary rays at 1024^2; tile-ordered
-        # camera batches sort to near-identity, so the cost is one argsort)
+        # cluster culling needs coherent ray blocks, but sorting belongs
+        # at the RENDER level, once: render() permutes camera rays into
+        # 32x32 pixel-tile order (static host permutation — measured
+        # faster than per-call Morton argsort, which cost more than the
+        # traversal itself: 4x argsort(1M) per shadowed frame) and
+        # unsorts only the final image.  Shadow/bounce batches inherit
+        # the hit points' spatial coherence, so the intersectors stay raw.
         def closest(o, d, t_max=jnp.inf):
             tm = None if t_max is jnp.inf else jnp.broadcast_to(
                 jnp.asarray(t_max, F32), o.shape[:1])
-
-            def fn(o_, d_):
-                return pallas_rt.closest_hit_clustered(
-                    o_, d_, *tri, clusters, t_max=tm, interpret=interpret)
-
-            return wavefront.traverse_sorted(fn, o, d, smin, smax)
+            return pallas_rt.closest_hit_clustered(
+                o, d, *tri, clusters, t_max=tm, interpret=interpret)
 
         def occluded(o, d, t_max):
             # clustered any-hit: AABB gating over still-unoccluded rays
             # with per-tile early-out (vs a full closest-hit stream)
             tm = jnp.broadcast_to(jnp.asarray(t_max, F32), o.shape[:1])
-            perm, inv = wavefront.sort_rays(o, d, smin, smax)
-            occ = pallas_rt.any_hit_clustered(
-                o[perm], d[perm], *tri, clusters, t_max=tm[perm],
-                interpret=interpret)
-            return occ[inv]
+            return pallas_rt.any_hit_clustered(
+                o, d, *tri, clusters, t_max=tm, interpret=interpret)
     elif engine == "bvh":
         # stackless lockstep traversal (preorder escape links); the
         # per-ray-stack variant compiles poorly on real hardware
@@ -267,12 +262,46 @@ def trace_rays(scene_arrays, cfg: RTConfig, closest, occluded,
     return jnp.where(hit[..., None], out, bg)
 
 
-def render(scene: RTScene, cam: Camera, cfg: RTConfig):
-    """Full RT render -> (H, W, 4) float32 image (row 0 = bottom)."""
+def make_frame_fn(scene: RTScene, cam: Camera, cfg: RTConfig):
+    """Compile the whole frame into ONE jitted dispatch.
+
+    Returns (frame, (o, d)): frame(o, d) -> (H, W, 4).  Eagerly composing
+    the stages (as render() did before) pays per-op dispatch latency —
+    measured 400 ms of pure host/tunnel overhead on a frame whose kernels
+    total ~70 ms on a v5e.  Hold on to `frame` for animation/bench loops;
+    render() rebuilds (and retraces) it every call.
+    """
+    from . import wavefront
+
     scene = scene.finalize()
     scene_arrays = scene_shade_arrays(scene, cfg)
     closest, occluded = make_intersectors(scene, cfg)
     o, d = camera_rays(cam, cfg.width, cfg.height)
-    img = trace_rays(scene_arrays, cfg, closest, occluded,
-                     scene.reflectivity, o, d)
-    return img.reshape(cfg.height, cfg.width, 4)
+
+    # pixel-tile ray ordering (static permutation) makes every 1024-ray
+    # kernel block a compact screen tile — what makes the clustered
+    # kernel's whole-tile AABB skips fire; unsort only the final image
+    inv_j = None
+    if scene.faces.shape[0] <= PALLAS_MAX_TRIS and \
+            (cfg.engine if cfg.use_bvh else "brute") == "pallas":
+        perm, inv = wavefront.tile_order_perm(cfg.width, cfg.height, 32)
+        o, d = o[perm], d[perm]
+        inv_j = jnp.asarray(inv)
+
+    import jax
+
+    @jax.jit
+    def frame(o, d):
+        img = trace_rays(scene_arrays, cfg, closest, occluded,
+                         scene.reflectivity, o, d)
+        if inv_j is not None:
+            img = img[inv_j]
+        return img.reshape(cfg.height, cfg.width, 4)
+
+    return frame, (o, d)
+
+
+def render(scene: RTScene, cam: Camera, cfg: RTConfig):
+    """Full RT render -> (H, W, 4) float32 image (row 0 = bottom)."""
+    frame, (o, d) = make_frame_fn(scene, cam, cfg)
+    return frame(o, d)
