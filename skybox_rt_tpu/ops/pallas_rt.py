@@ -377,6 +377,222 @@ def closest_hit_clustered(orig, direction, v0, e1, e2, clusters,
     return prim, t, u, v
 
 
+TRI_BLOCK = 512      # triangles per streamed HBM->VMEM block
+
+
+def _make_streamed_kernel(t_min: float, tri_block: int):
+    def kernel(bi_ref, bc_ref, ba_ref,            # SMEM prefetch:
+               # bi (G, NB) compacted active block ids, bc (G,) counts,
+               # ba (NB, 8) block AABBs
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               tri_ref,                           # (tri_block, 16) VMEM
+               tmax_ref,
+               bt_ref, bp_ref, bu_ref, bv_ref):
+        g = pl.program_id(0)
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _init():
+            bt_ref[0] = tmax_ref[0]
+            bp_ref[0] = jnp.full(bt_ref.shape[1:], -1, I32)
+            bu_ref[0] = jnp.zeros(bt_ref.shape[1:], F32)
+            bv_ref[0] = jnp.zeros(bt_ref.shape[1:], F32)
+
+        # compacted-list gate: steps beyond this ray block's active count
+        # cost one scalar compare (the XLA pre-pass already proved no ray
+        # in the block touches any remaining triangle block)
+        @pl.when(k < bc_ref[g])
+        def _active():
+            nb = bi_ref[g, k]
+            ox = ox_ref[0]
+            oy = oy_ref[0]
+            oz = oz_ref[0]
+            dx = dx_ref[0]
+            dy = dy_ref[0]
+            dz = dz_ref[0]
+
+            # in-kernel slab re-test: the pre-pass can't know best_t, so
+            # this prunes blocks behind hits found by earlier blocks
+            tn, tf = _slab(ba_ref, nb, ox, oy, oz,
+                           _inv_dir(dx), _inv_dir(dy), _inv_dir(dz),
+                           bt_ref[0])
+
+            @pl.when(jnp.any(tn <= tf))
+            def _():
+                base = nb * tri_block
+
+                def step(j, _):
+                    best_t = bt_ref[0]
+                    hit, t, u, v = _mt_one(ox, oy, oz, dx, dy, dz,
+                                           tri_ref[j], t_min, best_t)
+                    bt_ref[0] = jnp.where(hit, t, best_t)
+                    bp_ref[0] = jnp.where(hit, base + j, bp_ref[0])
+                    bu_ref[0] = jnp.where(hit, u, bu_ref[0])
+                    bv_ref[0] = jnp.where(hit, v, bv_ref[0])
+                    return 0
+
+                jax.lax.fori_loop(0, tri_block, step, 0)
+
+    return kernel
+
+
+def _active_block_lists(rays, blk_aabb, tmax_arr):
+    """XLA pre-pass: exact per-ray slab tests, any-reduced per 1024-ray
+    block -> (blkidx (G, NB) i32 active ids compacted to the front,
+    blkcnt (G,) i32).  Chunked over NB to bound the (G, chunk, 8, 128)
+    temporaries."""
+    ox, oy, oz, dx, dy, dz = rays
+    G = ox.shape[0]
+    NB = blk_aabb.shape[0]
+    inv_dx = _inv_dir(dx)[:, None]        # (G, 1, 8, 128)
+    inv_dy = _inv_dir(dy)[:, None]
+    inv_dz = _inv_dir(dz)[:, None]
+    oxb, oyb, ozb = ox[:, None], oy[:, None], oz[:, None]
+    far = tmax_arr[:, None]
+
+    def chunk(a):                         # a: (nc, 8) AABBs
+        lox = a[None, :, 0, None, None]
+        loy = a[None, :, 1, None, None]
+        loz = a[None, :, 2, None, None]
+        hix = a[None, :, 3, None, None]
+        hiy = a[None, :, 4, None, None]
+        hiz = a[None, :, 5, None, None]
+        t0x = (lox - oxb) * inv_dx
+        t1x = (hix - oxb) * inv_dx
+        t0y = (loy - oyb) * inv_dy
+        t1y = (hiy - oyb) * inv_dy
+        t0z = (loz - ozb) * inv_dz
+        t1z = (hiz - ozb) * inv_dz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.maximum(jnp.minimum(t0z, t1z), 0.0))
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.minimum(jnp.maximum(t0z, t1z), far))
+        return jnp.any(tn <= tf, axis=(2, 3))          # (G, nc)
+
+    CH = 32
+    NBp = -(-NB // CH) * CH
+    aabb_p = jnp.pad(blk_aabb, ((0, NBp - NB), (0, 0)))
+    act = jax.lax.map(chunk, aabb_p.reshape(NBp // CH, CH, 8))
+    active = jnp.moveaxis(act, 1, 0).reshape(G, NBp)[:, :NB]
+    # stable argsort of ~active puts active ids first, in ascending nb
+    blkidx = jnp.argsort(~active, axis=1, stable=True).astype(jnp.int32)
+    blkcnt = jnp.sum(active, axis=1).astype(jnp.int32)
+    return blkidx, blkcnt
+
+
+@functools.partial(jax.jit, static_argnames=("t_min", "tri_block",
+                                             "interpret"))
+def _streamed_call(rays, tri, tmax_arr, blk_aabb, t_min, tri_block,
+                   interpret):
+    G = rays[0].shape[0]
+    NB = blk_aabb.shape[0]
+    blkidx, blkcnt = _active_block_lists(rays, blk_aabb, tmax_arr)
+    kernel = _make_streamed_kernel(t_min, tri_block)
+    ray_spec = pl.BlockSpec((1, 8, LANES), lambda g, k, *_: (g, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,               # blkidx, blkcnt, aabbs (SMEM)
+        grid=(G, NB),                        # k fastest: output revisiting
+        in_specs=[ray_spec] * 6 + [
+            # the DMA follows the compacted list: only active blocks (and
+            # the repeated last-active block for gated-off steps) stream in
+            pl.BlockSpec(
+                (tri_block, 16),
+                lambda g, k, bi, bc, ba: (bi[g, jnp.minimum(k, bc[g])], 0),
+                memory_space=pltpu.VMEM),
+            ray_spec,
+        ],
+        out_specs=(ray_spec,) * 4,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((G, 8, LANES), F32),
+            jax.ShapeDtypeStruct((G, 8, LANES), I32),
+            jax.ShapeDtypeStruct((G, 8, LANES), F32),
+            jax.ShapeDtypeStruct((G, 8, LANES), F32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(blkidx, blkcnt, blk_aabb, *rays, tri, tmax_arr)
+
+
+def _block_aabbs(tri, tri_block):
+    """(Pp, 16) records -> (NB, 8) [min.xyz max.xyz 0 0] per block.
+    Zero padding rows are degenerate points at the origin; pad with the
+    first real vertex instead so they never widen the box."""
+    Pp = tri.shape[0]
+    NB = Pp // tri_block
+    v0 = tri[:, 0:3]
+    v1 = v0 + tri[:, 3:6]
+    v2 = v0 + tri[:, 6:9]
+    pts = jnp.stack([v0, v1, v2], 1).reshape(NB, tri_block * 3, 3)
+    lo = jnp.min(pts, axis=1)
+    hi = jnp.max(pts, axis=1)
+    return jnp.concatenate([lo, hi, jnp.zeros((NB, 2), F32)], 1)
+
+
+def closest_hit_streamed(orig, direction, v0, e1, e2, order=None,
+                         t_max=None, t_min: float = 1e-4,
+                         tri_block: int = TRI_BLOCK,
+                         interpret: bool = False):
+    """Large-scene closest hit: triangle blocks are PIPELINED from HBM
+    through VMEM over a second grid axis (flash-attention-style streaming),
+    so the scene is NOT VMEM-resident — scales to ~1M triangles where
+    closest_hit_pallas/_clustered cap at ~15k.  Per-block AABBs (SMEM)
+    gate the intersection loop; pass `order` (e.g. rt.bvh.build_clusters'
+    Morton/treelet order) so blocks are spatially tight and the gates fire.
+
+    Returns (prim (R,) i32 in ORIGINAL ids, t, u, v)."""
+    P = v0.shape[0]
+    rays, R, Rp, G = _pack_rays(orig, direction)
+    order = None if order is None else jnp.asarray(order)
+    tri = _pack_tris(v0, e1, e2, order=order)
+    # cap the block count: the (G, NB) compacted-list table lives in SMEM
+    # (~1 MB total) and every grid step costs ~10 us of fixed overhead
+    # (measured; see PERF.md), so huge scenes take coarser blocks rather
+    # than more of them
+    NB_MAX = 64
+    needed = -(-tri.shape[0] // NB_MAX)           # ceil(Pp / NB_MAX)
+    tri_block = max(tri_block, -(-needed // 512) * 512)
+    # pad rows to a tri_block multiple with copies of row 0 shifted to the
+    # first real vertex (degenerate => det 0, and AABB-neutral)
+    Pp0 = tri.shape[0]
+    if Pp0 % tri_block:
+        padn = tri_block - Pp0 % tri_block
+        padrow = jnp.zeros((padn, 16), F32).at[:, 0:3].set(tri[0, 0:3])
+        tri = jnp.concatenate([tri, padrow], 0)
+    else:
+        # TRI_SUB padding rows from _pack_tris are all-zero: make them
+        # AABB-neutral too
+        pass
+    nzpad = tri.shape[0] - P
+    if nzpad:
+        fix = jnp.broadcast_to(tri[0, 0:3], (nzpad, 3))
+        tri = tri.at[P:, 0:3].set(fix)
+    tmax_arr = _pack_tmax(t_max, G)
+    blk_aabb = _block_aabbs(tri, tri_block)
+
+    bt, bp, bu, bv = _streamed_call(rays, tri, tmax_arr, blk_aabb,
+                                    t_min, tri_block, interpret)
+
+    slot = bp.reshape(Rp)[:R]
+    miss = (slot < 0) | (slot >= P)
+    if order is None:
+        prim = jnp.where(miss, jnp.int32(-1), slot)
+    else:
+        prim = jnp.where(miss, jnp.int32(-1),
+                         order[jnp.clip(slot, 0, P - 1)])
+    t = jnp.where(miss, jnp.inf, bt.reshape(Rp)[:R])
+    u = jnp.where(miss, 0.0, bu.reshape(Rp)[:R])
+    v = jnp.where(miss, 0.0, bv.reshape(Rp)[:R])
+    return prim, t, u, v
+
+
 def _make_clustered_anyhit_kernel(num_clusters: int, t_min: float):
     def kernel(cf_ref, cc_ref, ca_ref,            # scalar-prefetch (SMEM)
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,

@@ -40,8 +40,7 @@ def render_sharded(scene: tracer.RTScene, cam: tracer.Camera,
     # then a run of compact screen tiles (coherence for the clustered
     # kernel AND balanced tile ownership)
     perm = inv = None
-    if scene.faces.shape[0] <= tracer.PALLAS_MAX_TRIS and \
-            (cfg.engine if cfg.use_bvh else "brute") == "pallas":
+    if (cfg.engine if cfg.use_bvh else "brute") == "pallas":
         perm, inv = wavefront.tile_order_perm(cfg.width, cfg.height, 32)
         o, d = o[perm], d[perm]
 

@@ -133,9 +133,28 @@ def make_intersectors(scene: RTScene, cfg: RTConfig):
     engine = cfg.engine if cfg.use_bvh else "brute"
     if engine == "pallas" and scene.faces.shape[0] > PALLAS_MAX_TRIS:
         # the blocked kernel keeps the whole triangle array VMEM-resident
-        # (ops/pallas_rt.py docstring) — large scenes take the BVH path
-        engine = "bvh"
-    if engine == "pallas":
+        # (ops/pallas_rt.py docstring) — large scenes stream triangle
+        # blocks from HBM instead
+        engine = "pallas_streamed"
+    if engine == "pallas_streamed":
+        from ..ops import pallas_rt
+        import jax
+
+        interpret = jax.devices()[0].platform not in ("tpu",)
+        order = bvh_mod.build_clusters(scene.bvh)["order"]
+
+        def closest(o, d, t_max=jnp.inf):
+            tm = None if t_max is jnp.inf else jnp.broadcast_to(
+                jnp.asarray(t_max, F32), o.shape[:1])
+            return pallas_rt.closest_hit_streamed(
+                o, d, *tri, order=order, t_max=tm, interpret=interpret)
+
+        def occluded(o, d, t_max):
+            tm = jnp.broadcast_to(jnp.asarray(t_max, F32), o.shape[:1])
+            prim, _, _, _ = pallas_rt.closest_hit_streamed(
+                o, d, *tri, order=order, t_max=tm, interpret=interpret)
+            return prim >= 0
+    elif engine == "pallas":
         from ..ops import pallas_rt
         from . import wavefront
         import jax
@@ -282,8 +301,7 @@ def make_frame_fn(scene: RTScene, cam: Camera, cfg: RTConfig):
     # kernel block a compact screen tile — what makes the clustered
     # kernel's whole-tile AABB skips fire; unsort only the final image
     inv_j = None
-    if scene.faces.shape[0] <= PALLAS_MAX_TRIS and \
-            (cfg.engine if cfg.use_bvh else "brute") == "pallas":
+    if (cfg.engine if cfg.use_bvh else "brute") == "pallas":
         perm, inv = wavefront.tile_order_perm(cfg.width, cfg.height, 32)
         o, d = o[perm], d[perm]
         inv_j = jnp.asarray(inv)

@@ -145,3 +145,39 @@ def test_anyhit_clustered_per_ray_tmax():
     occ_c = pallas_rt.any_hit_clustered(o, d, *tri, clusters, t_max=tm,
                                         interpret=INTERPRET)
     np.testing.assert_array_equal(np.asarray(occ_b), np.asarray(occ_c))
+
+
+def test_streamed_matches_bruteforce():
+    """HBM-streamed large-scene kernel vs brute force (small scene so the
+    oracle is cheap; block gating exercised via the treelet order)."""
+    from skybox_rt_tpu.rt import bvh as bvh_mod
+
+    verts, faces = scenes.icosphere(subdiv=3)      # 1280 tris, NB=3
+    tri = intersect.triangle_arrays(jnp.asarray(verts), jnp.asarray(faces))
+    bvh = bvh_mod.build(verts, faces)
+    clusters = bvh_mod.build_clusters(bvh, max_tris=64)
+
+    o, d = _rays(1500, seed=21)
+    p_b, t_b, _, _ = intersect.closest_hit_bruteforce(o, d, *tri)
+    p_s, t_s, _, _ = pallas_rt.closest_hit_streamed(
+        o, d, *tri, order=clusters["order"], interpret=INTERPRET)
+    p_b_, p_s_ = np.asarray(p_b), np.asarray(p_s)
+    assert ((p_b_ >= 0) == (p_s_ >= 0)).all()
+    hits = p_b_ >= 0
+    np.testing.assert_allclose(np.asarray(t_s)[hits], np.asarray(t_b)[hits],
+                               rtol=1e-5)
+    diff = hits & (p_b_ != p_s_)
+    assert diff.mean() < 0.01          # exact-t ties only
+    np.testing.assert_allclose(np.asarray(t_s)[diff], np.asarray(t_b)[diff],
+                               rtol=1e-5)
+
+
+def test_streamed_no_order_and_tmax():
+    verts, faces = scenes.icosphere(subdiv=1)      # 80 tris: single block,
+    tri = intersect.triangle_arrays(jnp.asarray(verts), jnp.asarray(faces))
+    o, d = _rays(300, seed=23)                     # heavy padding path
+    tm = jnp.full((300,), 2.0, jnp.float32)
+    p_b, t_b, _, _ = intersect.closest_hit_bruteforce(o, d, *tri, t_max=2.0)
+    p_s, t_s, _, _ = pallas_rt.closest_hit_streamed(o, d, *tri, t_max=tm,
+                                                    interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(p_b), np.asarray(p_s))

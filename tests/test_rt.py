@@ -280,9 +280,10 @@ def test_tile_order_perm():
     assert np.array_equal(xs[:4], [0, 1, 2, 3]) and (ys[:4] == 0).all()
 
 
-def test_large_scene_falls_back_to_bvh_engine():
-    """Scenes beyond the blocked kernel's VMEM bound must transparently
-    take the stackless BVH engine (tracer.PALLAS_MAX_TRIS guard)."""
+def test_large_scene_takes_streamed_engine():
+    """Scenes beyond the blocked kernel's VMEM bound transparently take
+    the HBM-streamed kernel (tracer.PALLAS_MAX_TRIS guard) and must match
+    the stackless BVH engine's image."""
     verts, faces = scenes.icosphere(subdiv=5)     # 20480 tris > 15000
     assert faces.shape[0] > tracer.PALLAS_MAX_TRIS
     colors = np.ones((verts.shape[0], 4), np.float32)
@@ -292,3 +293,6 @@ def test_large_scene_falls_back_to_bvh_engine():
     img = np.asarray(tracer.render(scene, cam, cfg))
     assert np.isfinite(img).all()
     assert (img[..., :3].sum(-1) > 0).any()
+    ref = np.asarray(tracer.render(
+        scene, cam, tracer.RTConfig(width=16, height=16, engine="bvh")))
+    np.testing.assert_allclose(img, ref, atol=1e-5)
