@@ -74,15 +74,16 @@ def _mt_one(ox, oy, oz, dx, dy, dz, rec, t_min, best_t):
     return hit, t, u, v
 
 
-def _pack_rays(orig, direction):
-    """(R, 3) rays -> six (G, 8, 128) component arrays + (R, Rp, G)."""
+def _pack_rays(orig, direction, sub: int = 1):
+    """(R, 3) rays -> six (G, sub*8, 128) component arrays + (R, Rp, G).
+    sub > 1 packs several native (8, 128) subtiles per grid block."""
     R = orig.shape[0]
-    BLK = 8 * LANES
+    BLK = sub * 8 * LANES
     Rp = -(-R // BLK) * BLK
     G = Rp // BLK
 
     def comp(x, k):
-        return _pad_to(x[:, k], BLK).reshape(G, 8, LANES)
+        return _pad_to(x[:, k], BLK).reshape(G, sub * 8, LANES)
 
     rays = [comp(orig, 0), comp(orig, 1), comp(orig, 2),
             comp(direction, 0), comp(direction, 1), comp(direction, 2)]
@@ -100,12 +101,12 @@ def _pack_tris(v0, e1, e2, order=None):
     return _pad_to(tri, TRI_SUB, axis=0)                     # (Pp, 16)
 
 
-def _pack_tmax(t_max, G):
+def _pack_tmax(t_max, G, sub: int = 1):
     if t_max is None:
-        return jnp.full((G, 8, LANES), jnp.inf, F32)
+        return jnp.full((G, sub * 8, LANES), jnp.inf, F32)
     # padded rays get t_max = -inf so they can never hit
-    return _pad_to(jnp.asarray(t_max, F32), 8 * LANES,
-                   fill=-jnp.inf).reshape(G, 8, LANES)
+    return _pad_to(jnp.asarray(t_max, F32), sub * 8 * LANES,
+                   fill=-jnp.inf).reshape(G, sub * 8, LANES)
 
 
 def _make_kernel(num_tri_steps: int, t_min: float):
@@ -380,7 +381,7 @@ def closest_hit_clustered(orig, direction, v0, e1, e2, clusters,
 TRI_BLOCK = 512      # triangles per streamed HBM->VMEM block
 
 
-def _make_streamed_kernel(t_min: float, tri_block: int):
+def _make_streamed_kernel(t_min: float, tri_block: int, sub: int):
     def kernel(bi_ref, bc_ref, ba_ref,            # SMEM prefetch:
                # bi (G, NB) compacted active block ids, bc (G,) counts,
                # ba (NB, 8) block AABBs
@@ -404,34 +405,43 @@ def _make_streamed_kernel(t_min: float, tri_block: int):
         @pl.when(k < bc_ref[g])
         def _active():
             nb = bi_ref[g, k]
-            ox = ox_ref[0]
-            oy = oy_ref[0]
-            oz = oz_ref[0]
-            dx = dx_ref[0]
-            dy = dy_ref[0]
-            dz = dz_ref[0]
+            base = nb * tri_block
 
-            # in-kernel slab re-test: the pre-pass can't know best_t, so
-            # this prunes blocks behind hits found by earlier blocks
-            tn, tf = _slab(ba_ref, nb, ox, oy, oz,
-                           _inv_dir(dx), _inv_dir(dy), _inv_dir(dz),
-                           bt_ref[0])
+            # several native (8, 128) ray subtiles per grid step: fewer
+            # grid steps (each costs ~10 us fixed — PERF.md), while the
+            # slab gate stays per-subtile
+            def sub_body(s, _):
+                r = pl.ds(s * 8, 8)
+                ox = ox_ref[0, r]
+                oy = oy_ref[0, r]
+                oz = oz_ref[0, r]
+                dx = dx_ref[0, r]
+                dy = dy_ref[0, r]
+                dz = dz_ref[0, r]
 
-            @pl.when(jnp.any(tn <= tf))
-            def _():
-                base = nb * tri_block
+                # in-kernel slab re-test: the pre-pass can't know best_t,
+                # so this prunes blocks behind already-found hits
+                tn, tf = _slab(ba_ref, nb, ox, oy, oz,
+                               _inv_dir(dx), _inv_dir(dy), _inv_dir(dz),
+                               bt_ref[0, r])
 
-                def step(j, _):
-                    best_t = bt_ref[0]
-                    hit, t, u, v = _mt_one(ox, oy, oz, dx, dy, dz,
-                                           tri_ref[j], t_min, best_t)
-                    bt_ref[0] = jnp.where(hit, t, best_t)
-                    bp_ref[0] = jnp.where(hit, base + j, bp_ref[0])
-                    bu_ref[0] = jnp.where(hit, u, bu_ref[0])
-                    bv_ref[0] = jnp.where(hit, v, bv_ref[0])
-                    return 0
+                @pl.when(jnp.any(tn <= tf))
+                def _():
+                    def step(j, _):
+                        best_t = bt_ref[0, r]
+                        hit, t, u, v = _mt_one(ox, oy, oz, dx, dy, dz,
+                                               tri_ref[j], t_min, best_t)
+                        bt_ref[0, r] = jnp.where(hit, t, best_t)
+                        bp_ref[0, r] = jnp.where(hit, base + j,
+                                                 bp_ref[0, r])
+                        bu_ref[0, r] = jnp.where(hit, u, bu_ref[0, r])
+                        bv_ref[0, r] = jnp.where(hit, v, bv_ref[0, r])
+                        return 0
 
-                jax.lax.fori_loop(0, tri_block, step, 0)
+                    jax.lax.fori_loop(0, tri_block, step, 0)
+                return 0
+
+            jax.lax.fori_loop(0, sub, sub_body, 0)
 
     return kernel
 
@@ -482,15 +492,15 @@ def _active_block_lists(rays, blk_aabb, tmax_arr):
     return blkidx, blkcnt
 
 
-@functools.partial(jax.jit, static_argnames=("t_min", "tri_block",
+@functools.partial(jax.jit, static_argnames=("t_min", "tri_block", "sub",
                                              "interpret"))
-def _streamed_call(rays, tri, tmax_arr, blk_aabb, t_min, tri_block,
+def _streamed_call(rays, tri, tmax_arr, blk_aabb, t_min, tri_block, sub,
                    interpret):
     G = rays[0].shape[0]
     NB = blk_aabb.shape[0]
     blkidx, blkcnt = _active_block_lists(rays, blk_aabb, tmax_arr)
-    kernel = _make_streamed_kernel(t_min, tri_block)
-    ray_spec = pl.BlockSpec((1, 8, LANES), lambda g, k, *_: (g, 0, 0),
+    kernel = _make_streamed_kernel(t_min, tri_block, sub)
+    ray_spec = pl.BlockSpec((1, sub * 8, LANES), lambda g, k, *_: (g, 0, 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,               # blkidx, blkcnt, aabbs (SMEM)
@@ -510,10 +520,10 @@ def _streamed_call(rays, tri, tmax_arr, blk_aabb, t_min, tri_block,
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((G, 8, LANES), F32),
-            jax.ShapeDtypeStruct((G, 8, LANES), I32),
-            jax.ShapeDtypeStruct((G, 8, LANES), F32),
-            jax.ShapeDtypeStruct((G, 8, LANES), F32),
+            jax.ShapeDtypeStruct((G, sub * 8, LANES), F32),
+            jax.ShapeDtypeStruct((G, sub * 8, LANES), I32),
+            jax.ShapeDtypeStruct((G, sub * 8, LANES), F32),
+            jax.ShapeDtypeStruct((G, sub * 8, LANES), F32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
@@ -538,7 +548,7 @@ def _block_aabbs(tri, tri_block):
 
 def closest_hit_streamed(orig, direction, v0, e1, e2, order=None,
                          t_max=None, t_min: float = 1e-4,
-                         tri_block: int = TRI_BLOCK,
+                         tri_block: int = TRI_BLOCK, sub: int = 4,
                          interpret: bool = False):
     """Large-scene closest hit: triangle blocks are PIPELINED from HBM
     through VMEM over a second grid axis (flash-attention-style streaming),
@@ -549,7 +559,7 @@ def closest_hit_streamed(orig, direction, v0, e1, e2, order=None,
 
     Returns (prim (R,) i32 in ORIGINAL ids, t, u, v)."""
     P = v0.shape[0]
-    rays, R, Rp, G = _pack_rays(orig, direction)
+    rays, R, Rp, G = _pack_rays(orig, direction, sub=sub)
     order = None if order is None else jnp.asarray(order)
     tri = _pack_tris(v0, e1, e2, order=order)
     # cap the block count: the (G, NB) compacted-list table lives in SMEM
@@ -574,11 +584,11 @@ def closest_hit_streamed(orig, direction, v0, e1, e2, order=None,
     if nzpad:
         fix = jnp.broadcast_to(tri[0, 0:3], (nzpad, 3))
         tri = tri.at[P:, 0:3].set(fix)
-    tmax_arr = _pack_tmax(t_max, G)
+    tmax_arr = _pack_tmax(t_max, G, sub=sub)
     blk_aabb = _block_aabbs(tri, tri_block)
 
     bt, bp, bu, bv = _streamed_call(rays, tri, tmax_arr, blk_aabb,
-                                    t_min, tri_block, interpret)
+                                    t_min, tri_block, sub, interpret)
 
     slot = bp.reshape(Rp)[:R]
     miss = (slot < 0) | (slot >= P)
