@@ -106,68 +106,246 @@ class BVH:
             self.pre_escape, self.prim_order))
 
 
+class _Builder:
+    """Shared node-array bookkeeping for the top-down host builders.
+
+    All builders emit the same flat layout (and keep each subtree's prims
+    contiguous in prim_order, which build_clusters and the Pallas cluster
+    kernels rely on); they differ only in how a range is partitioned.
+    """
+
+    def __init__(self, verts, faces):
+        verts = np.asarray(verts, np.float32)
+        faces = np.asarray(faces, np.int64)
+        self.P = faces.shape[0]
+        tri = verts[faces]                  # (P, 3, 3)
+        self.tmin = tri.min(1)
+        self.tmax = tri.max(1)
+        self.cent = tri.mean(1)
+        self.order = np.arange(self.P)
+        self.node_min, self.node_max = [], []
+        self.node_left, self.node_right = [], []
+        self.node_first, self.node_count = [], []
+
+    def new_node(self):
+        self.node_min.append(None)
+        self.node_max.append(None)
+        self.node_left.append(-1)
+        self.node_right.append(-1)
+        self.node_first.append(0)
+        self.node_count.append(0)
+        return len(self.node_min) - 1
+
+    def set_bounds(self, ni, ids):
+        self.node_min[ni] = self.tmin[ids].min(0)
+        self.node_max[ni] = self.tmax[ids].max(0)
+
+    def make_leaf(self, ni, lo, hi):
+        self.node_first[ni] = lo
+        self.node_count[ni] = hi - lo
+
+    def split_node(self, ni):
+        li = self.new_node()
+        ri = self.new_node()
+        self.node_left[ni] = li
+        self.node_right[ni] = ri
+        return li, ri
+
+    def finish(self, leaf_size):
+        return BVH(
+            node_min=np.asarray(self.node_min, np.float32),
+            node_max=np.asarray(self.node_max, np.float32),
+            node_left=np.asarray(self.node_left, np.int32),
+            node_right=np.asarray(self.node_right, np.int32),
+            node_first=np.asarray(self.node_first, np.int32),
+            node_count=np.asarray(self.node_count, np.int32),
+            prim_order=self.order.astype(np.int32),
+            leaf_size=leaf_size,
+        )
+
+
 def build(verts: np.ndarray, faces: np.ndarray,
-          leaf_size: int = LEAF_SIZE) -> BVH:
+          leaf_size: int = LEAF_SIZE, method: str = "median") -> BVH:
+    """Build a BVH. method: 'median' (centroid median split),
+    'sah' (binned surface-area heuristic), 'lbvh' (Morton radix split)."""
+    if method == "median":
+        return build_median(verts, faces, leaf_size)
+    if method == "sah":
+        return build_sah(verts, faces, leaf_size)
+    if method == "lbvh":
+        return build_lbvh(verts, faces, leaf_size)
+    raise ValueError(f"unknown BVH build method {method!r}")
+
+
+def build_median(verts: np.ndarray, faces: np.ndarray,
+                 leaf_size: int = LEAF_SIZE) -> BVH:
     """Median-split BVH over triangle centroids."""
-    verts = np.asarray(verts, np.float32)
-    faces = np.asarray(faces, np.int64)
-    P = faces.shape[0]
-    tri = verts[faces]                      # (P, 3, 3)
-    tmin = tri.min(1)
-    tmax = tri.max(1)
-    cent = tri.mean(1)
-
-    node_min, node_max = [], []
-    node_left, node_right = [], []
-    node_first, node_count = [], []
-    order = np.arange(P)
-
-    def new_node():
-        node_min.append(None)
-        node_max.append(None)
-        node_left.append(-1)
-        node_right.append(-1)
-        node_first.append(0)
-        node_count.append(0)
-        return len(node_min) - 1
-
-    # iterative build (explicit work stack to avoid recursion limits)
-    root = new_node()
-    work = [(root, 0, P)]
+    b = _Builder(verts, faces)
+    root = b.new_node()
+    work = [(root, 0, b.P)]
     while work:
         ni, lo, hi = work.pop()
-        ids = order[lo:hi]
-        node_min[ni] = tmin[ids].min(0)
-        node_max[ni] = tmax[ids].max(0)
+        ids = b.order[lo:hi]
+        b.set_bounds(ni, ids)
         n = hi - lo
         if n <= leaf_size:
-            node_first[ni] = lo
-            node_count[ni] = n
+            b.make_leaf(ni, lo, hi)
             continue
-        ext = cent[ids].max(0) - cent[ids].min(0)
+        ext = b.cent[ids].max(0) - b.cent[ids].min(0)
         axis = int(ext.argmax())
-        # median split on centroid
-        key = cent[ids, axis]
-        part = np.argsort(key, kind="stable")
-        order[lo:hi] = ids[part]
+        part = np.argsort(b.cent[ids, axis], kind="stable")
+        b.order[lo:hi] = ids[part]
         mid = lo + n // 2
-        li = new_node()
-        ri = new_node()
-        node_left[ni] = li
-        node_right[ni] = ri
+        li, ri = b.split_node(ni)
         work.append((li, lo, mid))
         work.append((ri, mid, hi))
+    return b.finish(leaf_size)
 
-    return BVH(
-        node_min=np.asarray(node_min, np.float32),
-        node_max=np.asarray(node_max, np.float32),
-        node_left=np.asarray(node_left, np.int32),
-        node_right=np.asarray(node_right, np.int32),
-        node_first=np.asarray(node_first, np.int32),
-        node_count=np.asarray(node_count, np.int32),
-        prim_order=order.astype(np.int32),
-        leaf_size=leaf_size,
-    )
+
+def _half_area(bmin, bmax):
+    """Half surface area of AABBs; 0 for empty (inverted) boxes."""
+    e = np.maximum(bmax - bmin, 0.0)
+    return e[..., 0] * e[..., 1] + e[..., 1] * e[..., 2] \
+        + e[..., 2] * e[..., 0]
+
+
+def build_sah(verts: np.ndarray, faces: np.ndarray,
+              leaf_size: int = LEAF_SIZE, num_bins: int = 16) -> BVH:
+    """Binned surface-area-heuristic BVH (host numpy, top-down).
+
+    Per node, centroids are scattered into `num_bins` bins along each
+    axis; prefix/suffix AABB sweeps give the SAH cost
+    area_L*n_L + area_R*n_R for every bin boundary, and the cheapest
+    (axis, boundary) partitions the range.  Falls back to a median split
+    when every centroid lands in one bin.  Same flat layout/contiguity
+    guarantees as build_median, so every traversal and the treelet
+    cluster cut work unchanged; typically 1.5-3x fewer ray-box/ray-tri
+    tests than median split on irregular geometry.
+    """
+    b = _Builder(verts, faces)
+    root = b.new_node()
+    work = [(root, 0, b.P)]
+    while work:
+        ni, lo, hi = work.pop()
+        ids = b.order[lo:hi]
+        b.set_bounds(ni, ids)
+        n = hi - lo
+        if n <= leaf_size:
+            b.make_leaf(ni, lo, hi)
+            continue
+
+        c = b.cent[ids]
+        cmin = c.min(0)
+        ext = c.max(0) - cmin
+        best_cost = np.inf
+        best_part = None
+        for axis in range(3):
+            if ext[axis] <= 1e-12:
+                continue
+            scale = num_bins * (1.0 - 1e-6) / ext[axis]
+            bins = ((c[:, axis] - cmin[axis]) * scale).astype(np.int64)
+            counts = np.bincount(bins, minlength=num_bins)
+            bbmin = np.full((num_bins, 3), np.inf, np.float32)
+            bbmax = np.full((num_bins, 3), -np.inf, np.float32)
+            np.minimum.at(bbmin, bins, b.tmin[ids])
+            np.maximum.at(bbmax, bins, b.tmax[ids])
+            # prefix (left) and suffix (right) sweeps over bin boundaries
+            lmin = np.minimum.accumulate(bbmin, 0)
+            lmax = np.maximum.accumulate(bbmax, 0)
+            rmin = np.minimum.accumulate(bbmin[::-1], 0)[::-1]
+            rmax = np.maximum.accumulate(bbmax[::-1], 0)[::-1]
+            ncum = np.cumsum(counts)
+            n_l = ncum[:-1]                       # prims left of boundary i+1
+            n_r = n - n_l
+            cost = np.where(n_l > 0, _half_area(lmin, lmax)[:-1] * n_l, 0.0) \
+                + np.where(n_r > 0, _half_area(rmin, rmax)[1:] * n_r, 0.0)
+            cost = np.where((n_l == 0) | (n_r == 0), np.inf, cost)
+            k = int(np.argmin(cost))
+            if cost[k] < best_cost:
+                best_cost = cost[k]
+                best_part = bins <= k
+        if best_part is None or not (0 < best_part.sum() < n):
+            # degenerate centroids: median split keeps the tree balanced
+            axis = int(ext.argmax())
+            part = np.argsort(c[:, axis], kind="stable")
+            b.order[lo:hi] = ids[part]
+            mid = lo + n // 2
+        else:
+            b.order[lo:hi] = np.concatenate(
+                [ids[best_part], ids[~best_part]])
+            mid = lo + int(best_part.sum())
+        li, ri = b.split_node(ni)
+        work.append((li, lo, mid))
+        work.append((ri, mid, hi))
+    return b.finish(leaf_size)
+
+
+def morton_codes(cent: np.ndarray, bits: int = 10) -> np.ndarray:
+    """30-bit Morton codes of points quantized to a 2^bits grid (vectorized)."""
+    cent = np.asarray(cent, np.float64)
+    lo = cent.min(0)
+    ext = np.maximum(cent.max(0) - lo, 1e-30)
+    q = np.minimum(((cent - lo) / ext * (1 << bits)).astype(np.uint64),
+                   (1 << bits) - 1)
+
+    def part1by2(x):
+        x &= np.uint64(0x3FF)
+        x = (x | (x << np.uint64(16))) & np.uint64(0x30000FF)
+        x = (x | (x << np.uint64(8))) & np.uint64(0x300F00F)
+        x = (x | (x << np.uint64(4))) & np.uint64(0x30C30C3)
+        x = (x | (x << np.uint64(2))) & np.uint64(0x9249249)
+        return x
+
+    return (part1by2(q[:, 0]) << np.uint64(2)) \
+        | (part1by2(q[:, 1]) << np.uint64(1)) | part1by2(q[:, 2])
+
+
+def build_lbvh(verts: np.ndarray, faces: np.ndarray,
+               leaf_size: int = LEAF_SIZE, bits: int = 10) -> BVH:
+    """Linear BVH: Morton-sort centroids, then split each range at its
+    highest differing Morton bit (the radix/Karras-style hierarchy).
+
+    The sort is the only O(P log P) step; each split is a binary search
+    (the bit column is monotonic within a sorted range whose higher bits
+    agree).  Build is near-linear and order-deterministic — the host-side
+    analog of a GPU LBVH, and the natural builder for animated geometry
+    where per-frame rebuild cost dominates traversal quality.
+    """
+    b = _Builder(verts, faces)
+    codes = morton_codes(b.cent, bits)
+    perm = np.argsort(codes, kind="stable")
+    b.order = b.order[perm]
+    codes = codes[perm]
+
+    root = b.new_node()
+    work = [(root, 0, b.P, 3 * bits - 1)]
+    while work:
+        ni, lo, hi, bit = work.pop()
+        ids = b.order[lo:hi]
+        b.set_bounds(ni, ids)
+        n = hi - lo
+        if n <= leaf_size:
+            b.make_leaf(ni, lo, hi)
+            continue
+        # find the highest bit that actually splits this range
+        mid = lo
+        while bit >= 0:
+            col = (codes[lo:hi] >> np.uint64(bit)) & np.uint64(1)
+            mid = lo + int(np.searchsorted(col, 1))
+            if lo < mid < hi:
+                break
+            bit -= 1
+        if not (lo < mid < hi):
+            # all codes equal: median split on the longest axis
+            axis = int((b.cent[ids].max(0) - b.cent[ids].min(0)).argmax())
+            part = np.argsort(b.cent[ids, axis], kind="stable")
+            b.order[lo:hi] = ids[part]
+            codes[lo:hi] = codes[lo:hi][part]
+            mid = lo + n // 2
+        li, ri = b.split_node(ni)
+        work.append((li, lo, mid, bit - 1))
+        work.append((ri, mid, hi, bit - 1))
+    return b.finish(leaf_size)
 
 
 def build_clusters(bvh: BVH, max_tris: int = 64):

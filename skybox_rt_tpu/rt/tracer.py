@@ -77,12 +77,16 @@ class RTScene:
     texture: np.ndarray = None # (TH, TW, 4) float
     reflectivity: float = 0.0  # uniform mirror weight for bounce demo
     bvh: bvh_mod.BVH = None
+    # BVH builder: 'sah' (binned surface-area heuristic, best traversal),
+    # 'median', or 'lbvh' (near-linear Morton build for animated geometry)
+    bvh_method: str = "sah"
 
     def finalize(self):
         if self.normals is None:
             self.normals = vertex_normals(self.verts, self.faces)
         if self.bvh is None:
-            self.bvh = bvh_mod.build(self.verts, self.faces)
+            self.bvh = bvh_mod.build(self.verts, self.faces,
+                                     method=self.bvh_method)
         return self
 
 
