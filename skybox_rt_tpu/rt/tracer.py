@@ -60,6 +60,11 @@ class RTConfig:
     # scenes <= ~15k tris), 'bvh' (stackless lockstep traversal),
     # 'brute' (XLA all-pairs oracle)
     engine: str = "pallas"
+    # re-compact surviving rays to the front before each bounce (SURVEY §5
+    # long-context analog: multi-bounce = loop with re-compaction).  Dead
+    # rays are parked at a far origin and grouped into contiguous blocks,
+    # so the Pallas kernels' whole-tile AABB gates skip them outright.
+    compact_bounces: bool = True
     background: tuple = (0.0, 0.0, 0.0, 1.0)
     ambient: float = 0.1
     light_dir: tuple = (0.4, 0.8, 0.45)   # directional light (to light)
@@ -271,7 +276,26 @@ def trace_rays(scene_arrays, cfg: RTConfig, closest, occluded,
         for _ in range(cfg.bounces):
             rd = cur_d - 2.0 * jnp.sum(cur_d * cur_n, -1, keepdims=True) * cur_n
             ro = cur_o + cur_n * 1e-3
-            p2, t2, u2, v2 = closest(ro, rd)
+            if cfg.compact_bounces:
+                # re-compaction between bounces: stable-sort surviving rays
+                # to the front (preserving their tile-coherent order) and
+                # park dead rays at a far origin — contiguous dead blocks
+                # make the Pallas whole-tile skips fire, and traversal cost
+                # tracks the SURVIVING ray count, not the launch width.
+                active = weight[..., 0] > 0
+                perm = jnp.argsort(~active, stable=True)
+                inv_perm = jnp.argsort(perm)
+                # park beyond any scene, heading away: every slab/triangle
+                # test fails with t_far < 0, so dead tiles skip wholesale
+                park_o = jnp.asarray([3e7, 3e7, 3e7], F32)
+                park_d = jnp.asarray([0.57735, 0.57735, 0.57735], F32)
+                ro_c = jnp.where(active[..., None], ro, park_o)[perm]
+                rd_c = jnp.where(active[..., None], rd, park_d)[perm]
+                p2, t2, u2, v2 = closest(ro_c, rd_c)
+                p2, t2 = p2[inv_perm], t2[inv_perm]
+                u2, v2 = u2[inv_perm], v2[inv_perm]
+            else:
+                p2, t2, u2, v2 = closest(ro, rd)
             rgb2, hit2, pt2, n2 = shade_hits(scene_arrays, cfg, occluded,
                                              ro, rd, p2, t2, u2, v2)
             bg = jnp.asarray(cfg.background[:3], F32)

@@ -296,3 +296,26 @@ def test_large_scene_takes_streamed_engine():
     ref = np.asarray(tracer.render(
         scene, cam, tracer.RTConfig(width=16, height=16, engine="bvh")))
     np.testing.assert_allclose(img, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("engine", ["pallas", "bvh", "brute"])
+def test_bounce_compaction_image_identical(engine):
+    """Re-compaction between bounces (SURVEY §5 long-context analog) is a
+    pure scheduling change: the image must be identical with it on/off,
+    on every engine."""
+    scene = _sphere_scene(reflectivity=0.6)
+    verts_p, faces_p = scenes.mesh_grid_plane(n=4, y=-1.2, half=8.0)
+    v = np.concatenate([scene.verts, verts_p])
+    f = np.concatenate([scene.faces, faces_p + scene.verts.shape[0]])
+    c = np.concatenate([scene.colors,
+                        np.tile(np.array([[0.2, 0.6, 0.9, 1.0]], np.float32),
+                                (verts_p.shape[0], 1))])
+    scene = tracer.RTScene(verts=v, faces=f, colors=c, reflectivity=0.6)
+    cam = tracer.Camera(eye=(0, 0.8, 3.5), look_at=(0, 0, 0))
+    kw = dict(width=48, height=48, bounces=2, shadows=True, engine=engine)
+    a = np.asarray(tracer.render(
+        scene, cam, tracer.RTConfig(compact_bounces=True, **kw)))
+    b = np.asarray(tracer.render(
+        scene, cam, tracer.RTConfig(compact_bounces=False, **kw)))
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+    assert np.isfinite(a).all()
