@@ -112,3 +112,20 @@ def generate_mipmaps(pixels: np.ndarray, vx_format: int,
         w, h = nw, nh
 
     return np.concatenate(chain), offsets
+
+
+def texture_rgba_float(pixels: np.ndarray, vx_format: int,
+                       width: int, height: int) -> np.ndarray:
+    """Decode raw level-0 texel bytes -> (H, W, 4) float32 RGBA in [0, 1]
+    (the float-texture form the RT path samples)."""
+    stride = C.TEX_FORMAT_STRIDE[vx_format]
+    buf = np.asarray(pixels, np.uint8)[:height * width * stride]
+    if stride == 1:
+        t = buf.astype(np.uint32)
+    elif stride == 2:
+        t = buf.view("<u2").astype(np.uint32)
+    else:
+        t = buf.view("<u4").astype(np.uint32)
+    argb = _decode_rgba(vx_format, t.reshape(height, width))
+    rgba = argb[..., [1, 2, 3, 0]].astype(np.float32) / 255.0
+    return rgba

@@ -1,0 +1,49 @@
+"""RT ↔ raster cross-validation on the reference's CGLTrace scenes.
+
+The ray-traced screen-space renderer (rt/raster_bridge.py) is a float
+re-implementation of the draw3d pipeline; it must agree with the
+bit-exact fixed-point raster path per-pixel within tolerance, scene by
+scene.  Disagreement is expected only on primitive edges (fill-rule /
+sampling differences) and fixed-point rounding, so the assertion is:
+the overwhelming majority of pixels match tightly.
+"""
+import numpy as np
+import pytest
+
+from skybox_rt_tpu.ref import driver
+from skybox_rt_tpu.rt import raster_bridge
+
+
+def _match_fraction(scene, size, tol=12 / 255, **kw):
+    rt = raster_bridge.render_scene_rt(scene, size, size, **kw)
+    raster = raster_bridge.framebuffer_to_float(
+        driver.render_scene(scene, size, size))
+    diff = np.abs(rt[..., :3] - raster[..., :3]).max(-1)
+    return (diff <= tol).mean(), diff
+
+
+@pytest.mark.parametrize("scene,size,min_match", [
+    ("triangle", 64, 0.985),
+    ("box", 64, 0.97),
+    ("tekkaman", 128, 0.95),
+    ("vase", 64, 0.95),
+])
+def test_rt_matches_raster(scene, size, min_match):
+    frac, diff = _match_fraction(scene, size)
+    assert frac >= min_match, (
+        f"{scene}@{size}: only {frac:.3f} of pixels within tolerance "
+        f"(max diff {diff.max():.3f})")
+
+
+def test_engines_agree():
+    """brute-force and BVH winner selection give the same image."""
+    a = raster_bridge.render_scene_rt("triangle", 32, 32, engine="bvh")
+    b = raster_bridge.render_scene_rt("triangle", 32, 32, engine="brute")
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_draw_subset():
+    """start/end draw windows mirror ref.driver's drawcall subsetting."""
+    full = raster_bridge.render_scene_rt("tekkaman", 32, 32)
+    head = raster_bridge.render_scene_rt("tekkaman", 32, 32, end_draw=1)
+    assert np.abs(full - head).max() > 0.01  # later draws changed pixels
