@@ -42,6 +42,37 @@ class OMState:
         return (self.cbuf_writemask4 & 0xF) != 0
 
 
+def ds_carry_update(state: OMState, depth, cov, dsw):
+    """The ds-word half of :func:`write` as a carry update (front face).
+
+    Applies DepthTencil::test + the masked ds write (om_unit.cpp:85-127)
+    to a carried depth-stencil word; used by the deferred visibility scan
+    (ops.deferred) and its Pallas twin (ops.pallas_raster) so both stay
+    bit-identical to the immediate path.  Returns
+    (new dsw, contrib = cov & passed).
+    """
+    depth_en = state.ds.depth_enabled
+    stencil_en = state.ds.stencil_enabled(False)
+    if not (depth_en or stencil_en):
+        return dsw, cov                      # ds never tested nor written
+
+    passed, ds_result = ds_mod.test(state.ds, False, depth, dsw)
+
+    if depth_en and state.depth_writemask:
+        depth_mask = jnp.where(passed, jnp.uint32(C.OM_DEPTH_MASK),
+                               jnp.uint32(0))
+    else:
+        depth_mask = jnp.zeros_like(dsw)
+    swm = state.stencil_front_writemask
+    stencil_mask = (jnp.uint32((swm & 0xFF) << C.OM_DEPTH_BITS)
+                    if stencil_en else jnp.uint32(0))
+    ds_writemask = jnp.bitwise_or(depth_mask, stencil_mask)
+    new_ds = jnp.bitwise_or(jnp.bitwise_and(dsw, ~ds_writemask),
+                            jnp.bitwise_and(ds_result, ds_writemask))
+    dsw = jnp.where(cov & (ds_writemask != 0), new_ds, dsw)
+    return dsw, cov & passed
+
+
 def write(state: OMState, covered, color, depth, fb_color, fb_ds,
           is_backface: bool = False):
     """Masked OM update of a framebuffer tile.

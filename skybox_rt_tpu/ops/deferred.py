@@ -5,31 +5,32 @@ fragment of every primitive.  On TPU the expensive part is texture gather;
 this module restructures the draw into
 
   pass 1 (visibility): scan primitives per tile carrying only
-      (depth-stencil word, winning pid) per pixel — cheap int/float VPU ops,
-      no gathers except one row of edge/z data per primitive step
-  pass 2 (shading): for each *pixel* with a winner, recompute barycentrics,
-      interpolate attributes, sample the texture, and merge — one texture
-      gather per visible pixel instead of one per fragment
+      (depth-stencil word, winner/fragment-slot state) per pixel —
+      cheap int/float VPU ops, no gathers except one row of edge/z data
+      per primitive step
+  pass 2 (shading): shade only the pixels'/fragments' surviving
+      primitives — one texture gather per *contributing* fragment instead
+      of one per rasterized fragment
 
-Exactness: for draws with blending and stencil DISABLED, the sequential OM
-semantics reduce to "the winning fragment's write survives":
+Exactness, matching the sequential OM semantics of om_unit.cpp:24-154:
 
-  * the zbuf word after the draw equals the winner's ds_result (stencil
-    byte preserved since stencil writemask is 0: om_unit.cpp:118-127)
-  * the color word equals the winner's masked color write
-  * winner selection IS the immediate algorithm restricted to depth:
-    carry the running zbuf word and update where compare(func) passes
-    (depth writemask 0 keeps the carry fixed, reproducing compare-vs-
-    initial semantics)
+  * the depth-stencil word carry applies the FULL DepthTencil::test
+    (stencil func → depth func → stencil op, graphics.cpp:564-596) plus
+    the masked ds write (om_unit.cpp:118-127) per primitive step, so the
+    zbuf/stencil buffer after the draw is exact for any state
+  * blending DISABLED: the color word equals the LAST passing covered
+    fragment's masked color write — track that fragment's pid (`win`) in
+    the carry and shade it once per pixel in pass 2
+  * blending ENABLED: every passing covered fragment contributes, in
+    primitive submission order.  Pass 1 additionally records each pixel's
+    passing pids into K per-pixel slots (K static); pass 2 shades each
+    slot and folds Blender::blend + masked write (om_unit.cpp:107-135)
+    sequentially over the K slots.  A per-draw max-slot-count output lets
+    the caller re-dispatch with a larger K on overflow, so the result is
+    exact for any depth complexity.
 
-One sequential-dependence exception: DEPTH_FUNC_NOTEQUAL with depth write
-(a later equal-z fragment compares against the updated zbuf) — handled by
-the same carry update, so it is exact here too.  Blend or stencil enabled
-falls back to the immediate renderer (ref.renderer).
-
-This module is also the staging ground for the Pallas pass-1 kernel
-(ops.pallas_raster): both produce identical (pid, zword) visibility
-buffers, so they are interchangeable and parity-tested.
+Face is hardwired front (draw3d/kernel.cpp:225 passes face=0), so only
+the front stencil state applies — same assumption as the oracle.
 """
 from __future__ import annotations
 
@@ -38,74 +39,96 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..core import constants as C
 from ..core.state import RenderState
-from ..om import depth_stencil as ds_mod
+from ..om import blend as blend_mod
+from ..om import merger as om_merger
 from ..raster import edge as edge_mod
 from ..raster import interp as interp_mod
-from ..ref import renderer as immediate
 from ..texture import sampler as sampler_mod
 
 I32 = jnp.int32
 U32 = jnp.uint32
 FX24_ONE = 1 << 24
 
+DEFAULT_BLEND_SLOTS = 4
+
 
 def deferrable(render_state: RenderState) -> bool:
-    om = render_state.om
-    return (not om.blend.enabled
-            and not om.ds.stencil_enabled(False)
-            and not om.ds.stencil_enabled(True))
+    """True when the single-winner (blend-off) fast path applies.
+
+    Blended draws use the slotted deferred path instead (still deferred,
+    never the immediate oracle) — this predicate only selects between the
+    two pass-2 strategies."""
+    return not render_state.om.blend.enabled
+
+
+def _ds_update(om, flags, zattr_p, dx, dy, cov, dsw):
+    """One primitive's exact depth-stencil step over a pixel grid.
+
+    Computes the shader's depth output (z interpolation or the DEFAULTS
+    z=0, draw3d/kernel.cpp:16-23) and applies the shared exact ds-carry
+    update (om.merger.ds_carry_update).  Returns (new dsw, contrib).
+    """
+    if flags.depth_enabled:
+        z = interp_mod.interpolate(zattr_p, dx, dy)
+    else:
+        z = jnp.zeros_like(dx)               # shader DEFAULTS z=0
+    return om_merger.ds_carry_update(om, z.astype(U32), cov, dsw)
 
 
 def _visibility_tiles(render_state, edges, zattr, tile_pids, tile_xy,
-                      fb_ds_tiles, tile_logsize):
-    """Pass 1: per-tile scan -> (winner pid (T,ts,ts) i32, zword (T,ts,ts) u32).
+                      fb_ds_tiles, tile_logsize, blend_slots=0):
+    """Pass 1: per-tile primitive scan.
+
+    blend_slots == 0  -> (dsw (T,ts,ts) u32, winner pid (T,ts,ts) i32)
+    blend_slots == K  -> (dsw, slots (T,K,ts,ts) i32 pids (-1 empty),
+                          cnt (T,ts,ts) i32 passing-fragment count)
 
     zattr: (P, 3) int32 fixed24 z plane (x, y, c).
     """
     ts = 1 << tile_logsize
-    flags = render_state.flags
     om = render_state.om
-    depth_en = om.ds.depth_enabled
-    depth_write = depth_en and om.depth_writemask
+    flags = render_state.flags
 
     def one_tile(pids, ds0, origin):
         ys = jax.lax.broadcasted_iota(I32, (ts, ts), 0) + origin[1]
         xs = jax.lax.broadcasted_iota(I32, (ts, ts), 1) + origin[0]
 
-        def step(carry, pid):
-            dsw, win = carry
+        def prim_step(dsw, pid):
             valid = pid >= 0
             p = jnp.maximum(pid, 0)
             evals = edge_mod.eval_edges(edges[p], xs, ys)
             cov = edge_mod.coverage(evals, xs, ys, render_state.scissor) & valid
+            dx, dy = interp_mod.gradients(evals)
+            dsw, contrib = _ds_update(om, flags, zattr[p], dx, dy, cov, dsw)
+            return dsw, contrib, p
 
-            if depth_en:
-                dx, dy = interp_mod.gradients(evals)
-                if flags.depth_enabled:
-                    z = interp_mod.interpolate(zattr[p], dx, dy)
-                else:
-                    z = jnp.zeros_like(dx)   # shader DEFAULTS z=0
-                depth = jnp.bitwise_and(z.astype(U32), C.OM_DEPTH_MASK)
-                stored = jnp.bitwise_and(dsw, C.OM_DEPTH_MASK)
-                passed = ds_mod.compare(om.ds.depth_func, depth, stored)
-                upd = cov & passed
-                if depth_write:
-                    dsw = jnp.where(
-                        upd,
-                        jnp.bitwise_or(
-                            jnp.bitwise_and(dsw, ~jnp.uint32(C.OM_DEPTH_MASK)),
-                            depth),
-                        dsw)
-            else:
-                upd = cov
-            win = jnp.where(upd, p, win)
-            return (dsw, win), None
+        if blend_slots == 0:
+            def step(carry, pid):
+                dsw, win = carry
+                dsw, contrib, p = prim_step(dsw, pid)
+                win = jnp.where(contrib, p, win)
+                return (dsw, win), None
 
-        win0 = jnp.full((ts, ts), -1, I32)
-        (dsw, win), _ = jax.lax.scan(step, (ds0, win0), pids)
-        return dsw, win
+            win0 = jnp.full((ts, ts), -1, I32)
+            (dsw, win), _ = jax.lax.scan(step, (ds0, win0), pids)
+            return dsw, win
+
+        K = blend_slots
+        k_iota = jax.lax.broadcasted_iota(I32, (K, ts, ts), 0)
+
+        def step(carry, pid):
+            dsw, slots, cnt = carry
+            dsw, contrib, p = prim_step(dsw, pid)
+            onehot = (k_iota == cnt[None]) & contrib[None]
+            slots = jnp.where(onehot, p, slots)
+            cnt = cnt + contrib.astype(I32)
+            return (dsw, slots, cnt), None
+
+        slots0 = jnp.full((K, ts, ts), -1, I32)
+        cnt0 = jnp.zeros((ts, ts), I32)
+        (dsw, slots, cnt), _ = jax.lax.scan(step, (ds0, slots0, cnt0), pids)
+        return dsw, slots, cnt
 
     origins = tile_xy * ts
     return jax.vmap(one_tile)(tile_pids, fb_ds_tiles, origins)
@@ -156,11 +179,22 @@ def _shade_pixels(render_state, texels, edges, attribs, win, xs, ys):
     return interp_mod.to_rgba8(r, g, b, a_)
 
 
+def _merge_color(om, valid, color, dst):
+    """Masked color write (om_unit.cpp:129-135) of one fragment layer."""
+    cmask = jnp.uint32(om.cbuf_writemask)
+    merged = jnp.bitwise_or(jnp.bitwise_and(dst, ~cmask),
+                            jnp.bitwise_and(color, cmask))
+    return jnp.where(valid, merged, dst)
+
+
 @functools.partial(jax.jit, static_argnames=("render_state", "tile_logsize",
-                                             "visibility"))
+                                             "visibility", "blend_slots"))
 def _render_deferred_jit(render_state, texels, edges, attribs, zattr,
                          tile_pids, tile_xy, fb_color, fb_ds, tile_logsize,
-                         visibility="xla"):
+                         visibility="xla", blend_slots=0):
+    """Returns (fb_color, fb_ds, max_frag_count).  max_frag_count is the
+    per-pixel passing-fragment maximum (blend path only; 0 otherwise) —
+    callers re-dispatch with blend_slots >= max_frag_count on overflow."""
     ts = 1 << tile_logsize
     Hp, Wp = fb_color.shape
     gh, gw = Hp // ts, Wp // ts
@@ -171,14 +205,24 @@ def _render_deferred_jit(render_state, texels, edges, attribs, zattr,
     ty = tile_xy[:, 1]
     sel_d = fbd_t[ty, tx]
 
-    if visibility == "xla":
-        dsw, win = _visibility_tiles(render_state, edges, zattr, tile_pids,
-                                     tile_xy, sel_d, tile_logsize)
-    else:  # "pallas" | "pallas_interpret": the TPU kernel (ops.pallas_raster)
-        from . import pallas_raster
-        dsw, win = pallas_raster.visibility_tiles(
+    om = render_state.om
+    max_cnt = jnp.int32(0)
+
+    if blend_slots == 0:
+        if visibility == "xla":
+            dsw, win = _visibility_tiles(render_state, edges, zattr,
+                                         tile_pids, tile_xy, sel_d,
+                                         tile_logsize)
+        else:  # "pallas" | "pallas_interpret" (ops.pallas_raster)
+            from . import pallas_raster
+            dsw, win = pallas_raster.visibility_tiles(
+                render_state, edges, zattr, tile_pids, tile_xy, sel_d,
+                tile_logsize, interpret=(visibility == "pallas_interpret"))
+    else:
+        dsw, slots, cnt = _visibility_tiles(
             render_state, edges, zattr, tile_pids, tile_xy, sel_d,
-            tile_logsize, interpret=(visibility == "pallas_interpret"))
+            tile_logsize, blend_slots=blend_slots)
+        max_cnt = jnp.max(cnt)
 
     # pass 2 over the selected tiles' pixels
     origins = tile_xy * ts
@@ -186,28 +230,49 @@ def _render_deferred_jit(render_state, texels, edges, attribs, zattr,
           + origins[:, 1][:, None, None])
     xs = (jax.lax.broadcasted_iota(I32, (1, ts, ts), 2)
           + origins[:, 0][:, None, None])
-    color = _shade_pixels(render_state, texels, edges, attribs, win, xs, ys)
 
-    # masked merge (om_unit.cpp:129-135 color write path)
     sel_c = fbc_t[ty, tx]
-    om = render_state.om
-    has_win = win >= 0
-    if om.color_write:
-        cmask = jnp.uint32(om.cbuf_writemask)
-        merged = jnp.bitwise_or(jnp.bitwise_and(sel_c, ~cmask),
-                                jnp.bitwise_and(color, cmask))
-        sel_c = jnp.where(has_win, merged, sel_c)
+    if blend_slots == 0:
+        color = _shade_pixels(render_state, texels, edges, attribs, win,
+                              xs, ys)
+        if om.color_write:
+            sel_c = _merge_color(om, win >= 0, color, sel_c)
+    else:
+        # fold slots in primitive submission order: blend reads the
+        # evolving destination (om_unit.cpp:107-113) then masked-writes
+        for k in range(blend_slots):
+            win_k = slots[:, k]
+            color = _shade_pixels(render_state, texels, edges, attribs,
+                                  win_k, xs, ys)
+            blended = blend_mod.blend(om.blend, color, sel_c)
+            if om.color_write:
+                sel_c = _merge_color(om, win_k >= 0, blended, sel_c)
 
     fbc_t = fbc_t.at[ty, tx].set(sel_c)
     fbd_t = fbd_t.at[ty, tx].set(dsw)
     fb_color = fbc_t.transpose(0, 2, 1, 3).reshape(Hp, Wp)
     fb_ds = fbd_t.transpose(0, 2, 1, 3).reshape(Hp, Wp)
-    return fb_color, fb_ds
+    return fb_color, fb_ds, max_cnt
+
+
+def _next_pow2(n: int) -> int:
+    k = 1
+    while k < n:
+        k *= 2
+    return k
 
 
 def render_drawcall(render_state: RenderState, texels, binned,
-                    fb_color, fb_ds, visibility="xla"):
-    """Deferred when exact-equivalent, immediate otherwise."""
+                    fb_color, fb_ds, visibility="xla", info=None):
+    """Deferred render of one drawcall — exact for every OM state.
+
+    Blended draws start at DEFAULT_BLEND_SLOTS per-pixel fragment slots
+    and re-dispatch with the measured count on overflow (one host sync of
+    a scalar per blended draw).  info, when a dict, receives
+    ``blend_k`` = the K that sufficed (0 for non-blended draws) and
+    ``max_frag_count`` — callers like driver.compile_frame use it to pick
+    static slot counts.
+    """
     if visibility != "xla":
         from . import pallas_raster
         if not pallas_raster.supported(render_state, binned.tile_logsize):
@@ -215,16 +280,30 @@ def render_drawcall(render_state: RenderState, texels, binned,
         elif (visibility == "pallas"
               and jax.devices()[0].platform != "tpu"):
             visibility = "pallas_interpret"   # Mosaic only lowers on TPU
-    if not deferrable(render_state):
-        return immediate.render_drawcall(render_state, texels, binned,
-                                         fb_color, fb_ds)
     if texels is None:
         texels = jnp.zeros((1,), jnp.uint32)
-    return _render_deferred_jit(
-        render_state, texels,
-        jnp.asarray(binned.edges), jnp.asarray(binned.attribs),
-        jnp.asarray(binned.attribs[:, 0]),
-        jnp.asarray(binned.tile_pids), jnp.asarray(binned.tile_xy),
-        fb_color, fb_ds, binned.tile_logsize,
-        visibility=visibility,
-    )
+    args = (render_state, texels,
+            jnp.asarray(binned.edges), jnp.asarray(binned.attribs),
+            jnp.asarray(binned.attribs[:, 0]),
+            jnp.asarray(binned.tile_pids), jnp.asarray(binned.tile_xy),
+            fb_color, fb_ds, binned.tile_logsize)
+
+    if deferrable(render_state):
+        fbc, fbd, _ = _render_deferred_jit(*args, visibility=visibility)
+        if info is not None:
+            info["blend_k"] = 0
+        return fbc, fbd
+
+    k = DEFAULT_BLEND_SLOTS
+    max_k = binned.tile_pids.shape[1]          # cannot exceed prims/tile
+    while True:
+        fbc, fbd, max_cnt = _render_deferred_jit(
+            *args, visibility="xla", blend_slots=min(k, max_k))
+        m = int(max_cnt)
+        if m <= k or k >= max_k:
+            break
+        k = min(_next_pow2(m), max_k)
+    if info is not None:
+        info["blend_k"] = min(k, max_k)
+        info["max_frag_count"] = m
+    return fbc, fbd

@@ -38,8 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core import fixed
-from ..om import depth_stencil as ds_mod
-from ..core import constants as C
+from ..om import merger as om_merger
 
 I32 = jnp.int32
 U32 = jnp.uint32
@@ -61,11 +60,12 @@ def pack_prim_records(edges, zattr, tile_pids):
     return out.at[:, :, 12].set(valid)
 
 
-def _make_kernel(depth_en: bool, depth_write: bool, depth_func: int,
-                 shade_z: bool, tile_logsize: int, scissor, num_prims: int):
+def _make_kernel(om, shade_z: bool, tile_logsize: int, scissor,
+                 num_prims: int):
     ts = 1 << tile_logsize
     ns = (ts * ts) // LANES
     left, top, right, bottom = scissor
+    ds_active = om.ds.depth_enabled or om.ds.stencil_enabled(False)
 
     def kernel(origin_ref, prim_ref, fbds_ref, dsw_ref, win_ref):
         # constant lane grids: local x/y per flattened pixel index
@@ -101,32 +101,23 @@ def _make_kernel(depth_en: bool, depth_write: bool, depth_func: int,
             cov = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)
                    & in_scissor & valid)
 
-            if depth_en:
-                # GRADIENTS (draw3d/kernel.cpp:25-35): f32 barycentrics
-                f0 = fixed.fixed_to_float(e0, fixed.ATTR_FRAC)
-                f1 = fixed.fixed_to_float(e1, fixed.ATTR_FRAC)
-                f2 = fixed.fixed_to_float(e2, fixed.ATTR_FRAC)
-                rcp = jnp.float32(1.0) / ((f0 + f1) + f2)
-                dx = fixed.to_fixed_x86(rcp * f0, fixed.ATTR_FRAC)
-                dy = fixed.to_fixed_x86(rcp * f1, fixed.ATTR_FRAC)
+            if ds_active:
                 if shade_z:
+                    # GRADIENTS (draw3d/kernel.cpp:25-35): f32 barycentrics
+                    f0 = fixed.fixed_to_float(e0, fixed.ATTR_FRAC)
+                    f1 = fixed.fixed_to_float(e1, fixed.ATTR_FRAC)
+                    f2 = fixed.fixed_to_float(e2, fixed.ATTR_FRAC)
+                    rcp = jnp.float32(1.0) / ((f0 + f1) + f2)
+                    dx = fixed.to_fixed_x86(rcp * f0, fixed.ATTR_FRAC)
+                    dy = fixed.to_fixed_x86(rcp * f1, fixed.ATTR_FRAC)
                     tmp = fixed.imadd24(r[9], dx, r[11])
                     z = fixed.imadd24(r[10], dy, tmp)
                 else:
-                    z = jnp.zeros_like(dx)           # shader DEFAULTS z=0
-                depth = jnp.bitwise_and(z.astype(U32), C.OM_DEPTH_MASK)
-                dsw = dsw_ref[0]
-                stored = jnp.bitwise_and(dsw, C.OM_DEPTH_MASK)
-                passed = ds_mod.compare(depth_func, depth, stored)
-                upd = cov & passed
-                if depth_write:
-                    dsw_ref[0] = jnp.where(
-                        upd,
-                        jnp.bitwise_or(
-                            jnp.bitwise_and(
-                                dsw, ~jnp.uint32(C.OM_DEPTH_MASK)),
-                            depth),
-                        dsw)
+                    z = jnp.zeros_like(e0)           # shader DEFAULTS z=0
+                # exact test + masked ds write, shared with the XLA twin
+                new_dsw, upd = om_merger.ds_carry_update(
+                    om, z.astype(U32), cov, dsw_ref[0])
+                dsw_ref[0] = new_dsw
             else:
                 upd = cov
             win_ref[0] = jnp.where(upd, i, win_ref[0])
@@ -139,18 +130,16 @@ def _make_kernel(depth_en: bool, depth_write: bool, depth_func: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("depth_en", "depth_write", "depth_func", "shade_z",
-                     "tile_logsize", "scissor", "interpret"))
-def _visibility_call(prim_records, fb_ds_tiles, origins, *, depth_en,
-                     depth_write, depth_func, shade_z, tile_logsize,
-                     scissor, interpret):
+    static_argnames=("om", "shade_z", "tile_logsize", "scissor",
+                     "interpret"))
+def _visibility_call(prim_records, fb_ds_tiles, origins, *, om, shade_z,
+                     tile_logsize, scissor, interpret):
     T, M, _ = prim_records.shape
     ts = 1 << tile_logsize
     ns = (ts * ts) // LANES
     fb_flat = fb_ds_tiles.reshape(T, ns, LANES)
 
-    kernel = _make_kernel(depth_en, depth_write, depth_func, shade_z,
-                          tile_logsize, scissor, M)
+    kernel = _make_kernel(om, shade_z, tile_logsize, scissor, M)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,           # origins (T, 2) live in SMEM
@@ -191,17 +180,13 @@ def visibility_tiles(render_state, edges, zattr, tile_pids, tile_xy,
                      fb_ds_tiles, tile_logsize, interpret=False):
     """Drop-in replacement for ops.deferred._visibility_tiles, returning
     (dsw (T,ts,ts) u32, winner pid (T,ts,ts) i32 with -1 = none)."""
-    om = render_state.om
-    depth_en = om.ds.depth_enabled
     recs = pack_prim_records(jnp.asarray(edges), jnp.asarray(zattr),
                              jnp.asarray(tile_pids))
     ts = 1 << tile_logsize
     origins = jnp.asarray(tile_xy, I32) * ts
     dsw, win_slot = _visibility_call(
         recs, fb_ds_tiles, origins,
-        depth_en=depth_en,
-        depth_write=depth_en and om.depth_writemask,
-        depth_func=om.ds.depth_func,
+        om=render_state.om,
         shade_z=render_state.flags.depth_enabled,
         tile_logsize=tile_logsize,
         scissor=tuple(render_state.scissor),

@@ -176,9 +176,11 @@ def compile_frame(trace: cgltrace.CGLTrace, width: int, height: int,
     so a frame costs one device dispatch — the TPU analog of the
     reference's single vx_start per draw amortized over the full frame.
 
-    mode: "immediate" | "deferred" | "pallas" — the per-draw inner path;
-    deferred/pallas fall back to immediate per drawcall when blending or
-    stencil make the deferred split non-exact (ops.deferred.deferrable).
+    mode: "immediate" | "deferred" | "pallas" — the per-draw inner path.
+    deferred/pallas are exact for every OM state: blended draws use the
+    slotted deferred path, whose per-draw static slot count is measured
+    here with one eager deferred frame (exact, since the compiled frame
+    starts from the same cleared buffers and inputs).
     Returns (frame_fn, arrays): frame_fn(arrays) -> (H, W) uint32 ARGB.
     """
     import jax
@@ -197,17 +199,27 @@ def compile_frame(trace: cgltrace.CGLTrace, width: int, height: int,
     Hp = -(-height // ts) * ts
     Wp = -(-width // ts) * ts
 
-    def one_draw(rs, tls, texels, e, a, tp, txy, fbc, fbd):
-        use_deferred = (mode in ("deferred", "pallas")
-                        and deferred_mod.deferrable(rs))
-        if use_deferred:
+    blend_ks = [0] * len(draws)
+    if mode in ("deferred", "pallas"):
+        fbc = jnp.full((Hp, Wp), CLEAR_COLOR, jnp.uint32)
+        fbd = jnp.full((Hp, Wp), CLEAR_DEPTH, jnp.uint32)
+        for d, (rs, texels, b) in enumerate(draws):
+            info = {}
+            fbc, fbd = deferred_mod.render_drawcall(rs, texels, b, fbc, fbd,
+                                                    info=info)
+            blend_ks[d] = info["blend_k"]
+
+    def one_draw(d, rs, tls, texels, e, a, tp, txy, fbc, fbd):
+        if mode in ("deferred", "pallas"):
+            k = blend_ks[d]
             vis = "xla"
-            if mode == "pallas" and pallas_raster.supported(rs, tls):
+            if k == 0 and mode == "pallas" and pallas_raster.supported(rs, tls):
                 on_tpu = jax.devices()[0].platform == "tpu"
                 vis = "pallas" if on_tpu else "pallas_interpret"
-            return deferred_mod._render_deferred_jit.__wrapped__(
+            fbc, fbd, _ = deferred_mod._render_deferred_jit.__wrapped__(
                 rs, texels, e, a, a[:, 0], tp, txy, fbc, fbd, tls,
-                visibility=vis)
+                visibility=vis, blend_slots=k)
+            return fbc, fbd
         return renderer._render_drawcall_jit.__wrapped__(
             rs, texels, e, a, tp, txy, fbc, fbd, tls)
 
@@ -215,8 +227,9 @@ def compile_frame(trace: cgltrace.CGLTrace, width: int, height: int,
     def frame(arrays):
         fbc = jnp.full((Hp, Wp), CLEAR_COLOR, jnp.uint32)
         fbd = jnp.full((Hp, Wp), CLEAR_DEPTH, jnp.uint32)
-        for (rs, tls), (texels, e, a, tp, txy) in zip(statics, arrays):
-            fbc, fbd = one_draw(rs, tls, texels, e, a, tp, txy, fbc, fbd)
+        for d, ((rs, tls), (texels, e, a, tp, txy)) in enumerate(
+                zip(statics, arrays)):
+            fbc, fbd = one_draw(d, rs, tls, texels, e, a, tp, txy, fbc, fbd)
         return fbc[:height, :width]
 
     return frame, arrays
