@@ -187,24 +187,17 @@ def _merge_color(om, valid, color, dst):
     return jnp.where(valid, merged, dst)
 
 
-@functools.partial(jax.jit, static_argnames=("render_state", "tile_logsize",
-                                             "visibility", "blend_slots"))
-def _render_deferred_jit(render_state, texels, edges, attribs, zattr,
-                         tile_pids, tile_xy, fb_color, fb_ds, tile_logsize,
-                         visibility="xla", blend_slots=0):
-    """Returns (fb_color, fb_ds, max_frag_count).  max_frag_count is the
-    per-pixel passing-fragment maximum (blend path only; 0 otherwise) —
-    callers re-dispatch with blend_slots >= max_frag_count on overflow."""
+def render_tiles_deferred(render_state, texels, edges, attribs, zattr,
+                          tile_pids, tile_xy, sel_c, sel_d, tile_logsize,
+                          visibility="xla", blend_slots=0):
+    """Both deferred passes over a set of gathered framebuffer tiles.
+
+    sel_c, sel_d: (T, ts, ts) uint32 tiles gathered at tile_xy.  Returns
+    (out_c (T,ts,ts), out_d (T,ts,ts), max_frag_count scalar).  This is
+    the unit the tile-striping shard layer distributes across devices
+    (parallel.draw_shard) — pure per-tile compute, no global scatter.
+    """
     ts = 1 << tile_logsize
-    Hp, Wp = fb_color.shape
-    gh, gw = Hp // ts, Wp // ts
-
-    fbc_t = fb_color.reshape(gh, ts, gw, ts).transpose(0, 2, 1, 3)
-    fbd_t = fb_ds.reshape(gh, ts, gw, ts).transpose(0, 2, 1, 3)
-    tx = tile_xy[:, 0]
-    ty = tile_xy[:, 1]
-    sel_d = fbd_t[ty, tx]
-
     om = render_state.om
     max_cnt = jnp.int32(0)
 
@@ -231,7 +224,6 @@ def _render_deferred_jit(render_state, texels, edges, attribs, zattr,
     xs = (jax.lax.broadcasted_iota(I32, (1, ts, ts), 2)
           + origins[:, 0][:, None, None])
 
-    sel_c = fbc_t[ty, tx]
     if blend_slots == 0:
         color = _shade_pixels(render_state, texels, edges, attribs, win,
                               xs, ys)
@@ -247,6 +239,31 @@ def _render_deferred_jit(render_state, texels, edges, attribs, zattr,
             blended = blend_mod.blend(om.blend, color, sel_c)
             if om.color_write:
                 sel_c = _merge_color(om, win_k >= 0, blended, sel_c)
+
+    return sel_c, dsw, max_cnt
+
+
+@functools.partial(jax.jit, static_argnames=("render_state", "tile_logsize",
+                                             "visibility", "blend_slots"))
+def _render_deferred_jit(render_state, texels, edges, attribs, zattr,
+                         tile_pids, tile_xy, fb_color, fb_ds, tile_logsize,
+                         visibility="xla", blend_slots=0):
+    """Returns (fb_color, fb_ds, max_frag_count).  max_frag_count is the
+    per-pixel passing-fragment maximum (blend path only; 0 otherwise) —
+    callers re-dispatch with blend_slots >= max_frag_count on overflow."""
+    ts = 1 << tile_logsize
+    Hp, Wp = fb_color.shape
+    gh, gw = Hp // ts, Wp // ts
+
+    fbc_t = fb_color.reshape(gh, ts, gw, ts).transpose(0, 2, 1, 3)
+    fbd_t = fb_ds.reshape(gh, ts, gw, ts).transpose(0, 2, 1, 3)
+    tx = tile_xy[:, 0]
+    ty = tile_xy[:, 1]
+
+    sel_c, dsw, max_cnt = render_tiles_deferred(
+        render_state, texels, edges, attribs, zattr, tile_pids, tile_xy,
+        fbc_t[ty, tx], fbd_t[ty, tx], tile_logsize,
+        visibility=visibility, blend_slots=blend_slots)
 
     fbc_t = fbc_t.at[ty, tx].set(sel_c)
     fbd_t = fbd_t.at[ty, tx].set(dsw)
