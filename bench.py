@@ -4,8 +4,9 @@ Protocol mirrors the reference's measurement window (draw3d/main.cpp:349-360):
 host-side binning is done once up front; the timed region is device render
 only (vx_start .. vx_ready_wait analog).  The reference publishes no absolute
 performance numbers (BASELINE.md) — its simx baseline is a cycle-level CPU
-simulator.  vs_baseline is reported against a nominal 1.0 Mpix/s simx-class
-throughput so the number stays comparable across rounds.
+simulator — so vs_baseline is pinned to THIS framework's round-1 measured
+value (BENCH_r01.json: 2939.332 Mpix/s on one v5e chip), making the field a
+round-over-round progress ratio.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -19,7 +20,7 @@ import numpy as np
 SCENE = "tekkaman"
 SIZE = 256
 FRAMES = 20
-NOMINAL_BASELINE_MPIX_S = 1.0
+ROUND1_BASELINE_MPIX_S = 2939.332   # BENCH_r01.json, v5e 1 chip
 
 
 def main():
@@ -63,7 +64,7 @@ def main():
         "metric": f"draw3d_{SCENE}_{SIZE}x{SIZE}_fwd",
         "value": round(mpix_s, 3),
         "unit": "Mpix/s",
-        "vs_baseline": round(mpix_s / NOMINAL_BASELINE_MPIX_S, 3),
+        "vs_baseline": round(mpix_s / ROUND1_BASELINE_MPIX_S, 3),
     }))
 
 

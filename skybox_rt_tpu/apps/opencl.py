@@ -4,9 +4,9 @@ The reference runs a POCL port of Rodinia/NVIDIA OpenCL benchmarks on its
 SIMT machine.  Each function here is the TPU-native mapping of one app's
 kernel math; tests/test_opencl_apps.py oracles them against numpy (the
 hosts' verify loops).  Covered: saxpy, dotproduct, psum, transpose,
-blackscholes, nearn, kmeans, spmv, bfs, gaussian.  vecadd/sgemm/sgemm2/
-conv3/stencil/psort duplicate the regression apps (apps/compute.py) and
-oclprintf is jax.debug.print — not repeated.
+blackscholes, nearn, kmeans, spmv, bfs, gaussian, sfilter, sgemm3.
+vecadd/sgemm/sgemm2/conv3/stencil/psort duplicate the regression apps
+(apps/compute.py) and oclprintf is jax.debug.print — not repeated.
 """
 from __future__ import annotations
 
@@ -233,3 +233,41 @@ def back_substitute(U, c):
     for i in range(n - 1, -1, -1):
         x[i] = (c[i] - U[i, i + 1:] @ x[i + 1:]) / U[i, i]
     return x
+
+
+# ---------------------------------------------------------------------------
+# sfilter — tests/opencl/sfilter/kernel.cl:1-23: 3x3 convolution over the
+# image interior (the host launches with global_offset (1,1) and work size
+# (n-2, n-2), main.cc:223-225, so borders keep the zero-initialized dst).
+# On TPU the per-pixel gather becomes nine shifted slice-multiplies the VPU
+# fuses; the i0+i1+...+i8 accumulation order is preserved left-to-right
+# (matching the host reference loop up to XLA FMA contraction).
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def sfilter(src, m):
+    """src (H, W) f32, m (9,) f32 taps (row-major 3x3) -> (H, W) f32."""
+    src = jnp.asarray(src, F32)
+    m = jnp.asarray(m, F32)
+    acc = None
+    for k, (dy, dx) in enumerate([(-1, -1), (-1, 0), (-1, 1),
+                                  (0, -1), (0, 0), (0, 1),
+                                  (1, -1), (1, 0), (1, 1)]):
+        term = src[1 + dy:src.shape[0] - 1 + dy,
+                   1 + dx:src.shape[1] - 1 + dx] * m[k]
+        acc = term if acc is None else acc + term
+    return jnp.zeros_like(src).at[1:-1, 1:-1].set(acc)
+
+
+# ---------------------------------------------------------------------------
+# sgemm3 — tests/opencl/sgemm3/kernel.cl:1-36: local-memory-tiled matmul
+# (each workgroup stages A/B blocks in __local and barriers between block
+# loads).  The tiling/staging is exactly what XLA's MXU lowering does to a
+# plain dot, so the TPU-native form IS jnp.dot — the blocked schedule is
+# the compiler's job, not the kernel author's.
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def sgemm3(A, B):
+    return jnp.dot(jnp.asarray(A, F32), jnp.asarray(B, F32),
+                   preferred_element_type=F32)

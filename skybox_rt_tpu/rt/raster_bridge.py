@@ -21,8 +21,20 @@ Depth-winner selection per drawcall:
   ALWAYS/others -> last-submitted primitive wins (hit on -prim_index),
                    matching the raster's submission-order semantics when
                    the depth test can't order fragments.
+
+Known approximations (bounded by the per-pixel cross-validation tests,
+not exact):
+  * single winner PER DRAWCALL: only one fragment per pixel per draw is
+    depth-tested/blended, whereas the raster tests and blends every
+    covered fragment.  For EQUAL/NOTEQUAL depth funcs and for blended
+    overlapping primitives within one drawcall this diverges
+    systematically (multi-layer intra-draw alpha collapses to one layer).
+  * stencil state is NOT modeled — drawcalls with stencil_test enabled
+    are skipped with a warning (no CGLTrace scene uses stencil).
 """
 from __future__ import annotations
+
+import warnings
 
 import numpy as np
 
@@ -146,6 +158,11 @@ _BLEND_FACTORS = {
         lambda s, d: 1.0 - d[..., 3:4].repeat(4, -1),
     C.CGL_BLEND_DST_COLOR: lambda s, d: d,
     C.CGL_BLEND_ONE_MINUS_DST_COLOR: lambda s, d: 1.0 - d,
+    # alpha-saturate: min(src_a, 1-dst_a) on RGB, 1 on alpha
+    # (graphics.cpp:471-475 ALPHA_SAT)
+    C.CGL_BLEND_SRC_ALPHA_SATURATE: lambda s, d: jnp.concatenate(
+        [jnp.minimum(s[..., 3:4], 1.0 - d[..., 3:4]).repeat(3, -1),
+         jnp.ones_like(s[..., 3:4])], -1),
 }
 
 
@@ -163,10 +180,17 @@ def _depth_pass(func, z, zbuf):
     return table[func]()
 
 
-def _sample_bilinear_wrap(tex, u, v, repeat: bool):
-    """Bilinear texture fetch with repeat/clamp wrap (float, half-texel
-    centered like the fixed-point sampler, graphics.cpp:125-166)."""
+def _sample_texture_wrap(tex, u, v, repeat: bool, bilinear: bool):
+    """Texture fetch with repeat/clamp wrap: bilinear (half-texel
+    centered like the fixed-point sampler, graphics.cpp:125-166) or point
+    (graphics.cpp:168-186) per the draw state's magfilter, matching the
+    driver's filter selection (ref/driver.py make_texture_binding)."""
     th, tw = tex.shape[0], tex.shape[1]
+    if not bilinear:
+        def wrap_pt(i, n):
+            i = jnp.floor(i).astype(jnp.int32)
+            return jnp.mod(i, n) if repeat else jnp.clip(i, 0, n - 1)
+        return tex[wrap_pt(v * th, th), wrap_pt(u * tw, tw)]
     x = u * tw - 0.5
     y = v * th - 0.5
     x0 = jnp.floor(x)
@@ -207,6 +231,10 @@ def render_trace_rt(trace: cgltrace.CGLTrace, width: int, height: int,
 
     for dc in trace.drawcalls[start_draw:end_draw]:
         st = dc.states
+        if st.stencil_test:
+            warnings.warn("raster_bridge: skipping drawcall with stencil "
+                          "enabled (not modeled; use the raster path)")
+            continue
         geo = _screen_triangles(dc, width, height)
         if geo is None:
             continue
@@ -233,7 +261,9 @@ def render_trace_rt(trace: cgltrace.CGLTrace, width: int, height: int,
                 tex.pixels, vx_fmt, tex.width, tex.height))
             uv = _interp_pc(jnp.asarray(geo["uv"]), idx, rhw, prim, u, v)
             repeat = st.texture_addressU == C.CGL_ADDRESS_WRAP
-            texel = _sample_bilinear_wrap(img, uv[:, 0], uv[:, 1], repeat)
+            bilinear = st.texture_magfilter != C.CGL_FILTER_NEAREST
+            texel = _sample_texture_wrap(img, uv[:, 0], uv[:, 1], repeat,
+                                         bilinear)
             if st.texture_envmode == C.CGL_ENVMODE_MODULATE:
                 src = src * texel
             elif st.texture_envmode == C.CGL_ENVMODE_ADD:

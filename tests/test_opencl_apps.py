@@ -105,3 +105,38 @@ def test_gaussian_elimination():
     assert np.abs(np.tril(U, -1)).max() < 1e-3
     x = opencl.back_substitute(U, c)
     np.testing.assert_allclose(A @ x, b, atol=5e-2)
+
+def test_sfilter():
+    """3x3 interior convolution vs the host's reference loop
+    (sfilter/main.cc:229-259): borders stay zero; float tolerance since
+    XLA contracts the chained mul-adds into FMAs (the host compares with
+    an epsilon too, common.h Comparator)."""
+    rng = np.random.default_rng(11)
+    n = 16
+    src = (rng.random((n, n), np.float32) * 100.0).astype(np.float32)
+    m = rng.standard_normal(9).astype(np.float32)
+    got = np.asarray(opencl.sfilter(src, m))
+    ref = np.zeros((n, n), np.float32)
+    for y in range(1, n - 1):
+        for x in range(1, n - 1):
+            acc = np.float32(0)
+            for k, (dy, dx) in enumerate([(-1, -1), (-1, 0), (-1, 1),
+                                          (0, -1), (0, 0), (0, 1),
+                                          (1, -1), (1, 0), (1, 1)]):
+                acc = np.float32(acc + np.float32(src[y + dy, x + dx] * m[k]))
+            ref[y, x] = acc
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+    assert got[0].sum() == 0 and got[-1].sum() == 0
+    assert got[:, 0].sum() == 0 and got[:, -1].sum() == 0
+
+
+def test_sgemm3():
+    """Tiled local-memory matmul == plain matmul (sgemm3/main.cc:108-118
+    sgemm_cpu oracle, float tolerance for accumulation-order differences)."""
+    rng = np.random.default_rng(12)
+    n = 32
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    B = rng.standard_normal((n, n)).astype(np.float32)
+    got = np.asarray(opencl.sgemm3(A, B))
+    ref = A.astype(np.float64) @ B.astype(np.float64)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
