@@ -41,7 +41,8 @@ def _cmd_render(args) -> int:
     t0 = time.perf_counter()
     fb = driver.render_trace(
         trace, args.width, args.height,
-        tile_logsize=args.tile_logsize, stats=stats, mode=args.mode)
+        tile_logsize=args.tile_logsize, stats=stats, mode=args.mode,
+        measure_traffic=args.perf)
     jax.block_until_ready(fb)
     elapsed_ms = (time.perf_counter() - t0) * 1e3
 

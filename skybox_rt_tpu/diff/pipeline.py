@@ -145,6 +145,21 @@ def prim_setup(params, indices, cfg: DiffRenderConfig):
     return setup
 
 
+def _tile_coords(ts: int, origin):
+    ys = (jax.lax.broadcasted_iota(I32, (ts, ts), 0) + origin[1]).astype(F32)
+    xs = (jax.lax.broadcasted_iota(I32, (ts, ts), 1) + origin[0]).astype(F32)
+    return xs, ys
+
+
+def _barycentrics(e0, e1, e2):
+    s = e0 + e1 + e2
+    denom = jnp.where(jnp.abs(s) > 1e-20, s, 1e-20)
+    b0 = e0 / denom
+    b1 = e1 / denom
+    b2 = 1.0 - b0 - b1
+    return b0, b1, b2
+
+
 def render_tile_set(setup, tile_pids, origins, cfg: DiffRenderConfig):
     """Render a set of tiles: (T, M) pid lists + (T, 2) pixel origins ->
     (T, ts, ts, 4) RGBA tiles.  This is the unit of tile-parallel sharding
@@ -158,8 +173,7 @@ def render_tile_set(setup, tile_pids, origins, cfg: DiffRenderConfig):
         tex = setup["tex"]
 
     def render_tile(pids, origin):
-        ys = (jax.lax.broadcasted_iota(I32, (ts, ts), 0) + origin[1]).astype(F32)
-        xs = (jax.lax.broadcasted_iota(I32, (ts, ts), 1) + origin[0]).astype(F32)
+        xs, ys = _tile_coords(ts, origin)
 
         fb_rgba = jnp.broadcast_to(
             jnp.asarray(cfg.background, F32), (ts, ts, 4)
@@ -175,11 +189,7 @@ def render_tile_set(setup, tile_pids, origins, cfg: DiffRenderConfig):
             e1 = e[1, 0] * xs + e[1, 1] * ys + e[1, 2]
             e2 = e[2, 0] * xs + e[2, 1] * ys + e[2, 2]
             inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & valid
-            s = e0 + e1 + e2
-            denom = jnp.where(jnp.abs(s) > 1e-20, s, 1e-20)
-            b0 = e0 / denom
-            b1 = e1 / denom
-            b2 = 1.0 - b0 - b1
+            b0, b1, b2 = _barycentrics(e0, e1, e2)
 
             zp = z0[p] * b0 + z1[p] * b1 + z2[p] * b2
             col = c0[p] * b0[..., None] + c1[p] * b1[..., None] + c2[p] * b2[..., None]
@@ -224,6 +234,206 @@ def render_tile_set(setup, tile_pids, origins, cfg: DiffRenderConfig):
     return jax.vmap(render_tile)(tile_pids, origins)    # (T, ts, ts, 4)
 
 
+def _is_hard(cfg: DiffRenderConfig) -> bool:
+    return (not cfg.alpha_blend) and cfg.soft_edge_temp == 0
+
+
+def visibility_slots(setup, tile_pids, origins, cfg: DiffRenderConfig,
+                     slots: int = 8):
+    """K-slot visibility pass — NON-differentiable (the analog of the
+    exact-int deferred pass 1, ops/deferred.py).
+
+    For each pixel, records the scan-step indices (into the tile's pid
+    list) of the fragments that WROTE the pixel under render_tile_set's
+    exact rules (hard coverage + depth test), in submission order.  All
+    inputs are stop_gradient'ed and all outputs are integers, so autodiff
+    never traverses this scan — the whole backward pass runs over
+    shade_slots' O(pixels*K) work instead of O(prims) sequential steps.
+
+    Hard mode (no blend, no edge softening) needs only ONE slot maintained
+    last-write-wins: the final write is the depth winner and fully
+    determines the pixel, so the pass can never overflow.
+
+    Returns (slot_steps (T, ts, ts, K) int32 with -1 = empty,
+             max_writes () int32 — the observed per-pixel write count;
+             exact iff max_writes <= K in non-hard modes).
+    """
+    ts = 1 << cfg.tile_logsize
+    edges = jax.lax.stop_gradient(setup["edges"])
+    z = jax.lax.stop_gradient(setup["z"])
+    z0, z1, z2 = z[:, 0], z[:, 1], z[:, 2]
+    hard = _is_hard(cfg)
+    K = 1 if hard else slots
+
+    if hard:
+        # In hard mode the sequential write rule reduces to a pure
+        # reduction: with depth test, the final write is the fragment with
+        # the lexicographic-minimal (z, step) — strict `<` means the
+        # earliest step wins ties; without, it's the max inside step.
+        # Chunk the prim axis and reduce CH prims per sequential step
+        # instead of one — the visibility pass stops being scan-bound.
+        CH = 16
+
+        def per_tile_hard(pids, origin):
+            xs, ys = _tile_coords(ts, origin)
+            M = pids.shape[0]
+            Mp = -(-M // CH) * CH
+            pids_p = jnp.pad(pids, (0, Mp - M), constant_values=-1)
+            chunks_p = pids_p.reshape(Mp // CH, CH)
+            steps_p = jnp.arange(Mp, dtype=I32).reshape(Mp // CH, CH)
+
+            def chunk_step(carry, c):
+                best_z, best_s = carry
+                pc, sc = c
+                valid = pc >= 0
+                p = jnp.maximum(pc, 0)
+                e = edges[p]                            # (CH, 3, 3)
+                e0 = (e[:, 0, 0, None, None] * xs + e[:, 0, 1, None, None]
+                      * ys + e[:, 0, 2, None, None])
+                e1 = (e[:, 1, 0, None, None] * xs + e[:, 1, 1, None, None]
+                      * ys + e[:, 1, 2, None, None])
+                e2 = (e[:, 2, 0, None, None] * xs + e[:, 2, 1, None, None]
+                      * ys + e[:, 2, 2, None, None])
+                inside = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+                          & valid[:, None, None])
+                if cfg.depth_test:
+                    b0, b1, b2 = _barycentrics(e0, e1, e2)
+                    zp = (z0[p][:, None, None] * b0
+                          + z1[p][:, None, None] * b1
+                          + z2[p][:, None, None] * b2)
+                    zi = jnp.where(inside, zp, jnp.inf)
+                    idx = jnp.argmin(zi, axis=0)        # first min = tie win
+                    zmin = jnp.take_along_axis(zi, idx[None], 0)[0]
+                    smin = sc[idx]
+                    upd = zmin < best_z                 # strict: old wins tie
+                    best_z = jnp.where(upd, zmin, best_z)
+                    best_s = jnp.where(upd, smin, best_s)
+                else:
+                    # last inside write wins: max step inside this chunk
+                    si = jnp.where(inside, sc[:, None, None], -1)
+                    smax = jnp.max(si, axis=0)
+                    best_s = jnp.maximum(best_s, smax)
+                return (best_z, best_s), None
+
+            carry = (jnp.full((ts, ts), jnp.inf, F32),
+                     jnp.full((ts, ts), -1, I32))
+            (_, best_s), _ = jax.lax.scan(chunk_step, carry,
+                                          (chunks_p, steps_p))
+            return best_s[..., None], (best_s >= 0).astype(I32).max()
+
+        slot_steps, maxw = jax.vmap(per_tile_hard)(tile_pids, origins)
+        return slot_steps, maxw.max()
+
+    def per_tile(pids, origin):
+        xs, ys = _tile_coords(ts, origin)
+        fb_z = jnp.full((ts, ts), jnp.inf, F32)
+        slot_steps = jnp.full((ts, ts, K), -1, I32)
+        count = jnp.zeros((ts, ts), I32)
+
+        def step(carry, s_pid):
+            fb_z, slot_steps, count = carry
+            s, pid = s_pid
+            valid = pid >= 0
+            p = jnp.maximum(pid, 0)
+            e = edges[p]
+            e0 = e[0, 0] * xs + e[0, 1] * ys + e[0, 2]
+            e1 = e[1, 0] * xs + e[1, 1] * ys + e[1, 2]
+            e2 = e[2, 0] * xs + e[2, 1] * ys + e[2, 2]
+            inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & valid
+            if cfg.depth_test:
+                b0, b1, b2 = _barycentrics(e0, e1, e2)
+                zp = z0[p] * b0 + z1[p] * b1 + z2[p] * b2
+                write = inside & (zp < fb_z)
+                fb_z = jnp.where(write, zp, fb_z)
+            else:
+                write = inside
+            if hard:
+                slot_steps = jnp.where(write[..., None], s, slot_steps)
+            else:
+                hit = write[..., None] & (
+                    count[..., None] == jnp.arange(K, dtype=I32))
+                slot_steps = jnp.where(hit, s, slot_steps)
+            count = count + write.astype(I32)
+            return (fb_z, slot_steps, count), None
+
+        M = pids.shape[0]
+        (fb_z, slot_steps, count), _ = jax.lax.scan(
+            step, (fb_z, slot_steps, count),
+            (jnp.arange(M, dtype=I32), pids))
+        return slot_steps, count.max()
+
+    slot_steps, maxw = jax.vmap(per_tile)(tile_pids, origins)
+    return slot_steps, maxw.max()
+
+
+def shade_slots(setup, tile_pids, slot_steps, origins,
+                cfg: DiffRenderConfig):
+    """Differentiable slot shading/composite — pass 2 of the deferred
+    pipeline.  Per pixel, folds render_tile_set's exact composite rule over
+    the K recorded fragments in submission order; all interpolation,
+    texture sampling and (soft) coverage weights are recomputed here from
+    the *differentiable* setup, so gradients flow to pos/color/uv/texels
+    with O(pixels*K) work and no sequential prim scan in the backward.
+    """
+    ts = 1 << cfg.tile_logsize
+    edges = setup["edges"]
+    c0, c1, c2 = setup["color"][:, 0], setup["color"][:, 1], setup["color"][:, 2]
+    if cfg.textured:
+        t0, t1, t2 = setup["uv"][:, 0], setup["uv"][:, 1], setup["uv"][:, 2]
+        tex = setup["tex"]
+
+    def per_tile(pids, steps, origin):
+        xs, ys = _tile_coords(ts, origin)
+        fb_rgba = jnp.broadcast_to(
+            jnp.asarray(cfg.background, F32), (ts, ts, 4)).astype(F32)
+        K = steps.shape[-1]
+        for k in range(K):
+            s = steps[..., k]                       # (ts, ts) step index
+            live = s >= 0
+            p = pids[jnp.maximum(s, 0)]             # (ts, ts) prim ids
+            e = edges[p]                            # (ts, ts, 3, 3)
+            e0 = e[..., 0, 0] * xs + e[..., 0, 1] * ys + e[..., 0, 2]
+            e1 = e[..., 1, 0] * xs + e[..., 1, 1] * ys + e[..., 1, 2]
+            e2 = e[..., 2, 0] * xs + e[..., 2, 1] * ys + e[..., 2, 2]
+            b0, b1, b2 = _barycentrics(e0, e1, e2)
+            col = (c0[p] * b0[..., None] + c1[p] * b1[..., None]
+                   + c2[p] * b2[..., None])
+            if cfg.textured:
+                uvp = (t0[p] * b0[..., None] + t1[p] * b1[..., None]
+                       + t2[p] * b2[..., None])
+                texel = sample_texture_bilinear(tex, uvp[..., 0], uvp[..., 1])
+                col = col * texel if cfg.modulate else texel
+            if cfg.soft_edge_temp > 0:
+                temp = F32(cfg.soft_edge_temp)
+                d = jnp.minimum(jnp.minimum(e0, e1), e2)
+                cov_w = jnp.where(live, jax.nn.sigmoid(d / temp), 0.0)
+            else:
+                cov_w = live.astype(F32)
+            if cfg.alpha_blend:
+                a = col[..., 3:4] * cov_w[..., None]
+                new_rgba = col * a + fb_rgba * (1.0 - a)
+            else:
+                new_rgba = (col * cov_w[..., None]
+                            + fb_rgba * (1.0 - cov_w[..., None]))
+            fb_rgba = jnp.where(live[..., None], new_rgba, fb_rgba)
+        return fb_rgba
+
+    return jax.vmap(per_tile)(tile_pids, slot_steps, origins)
+
+
+def render_tile_set_deferred(setup, tile_pids, origins,
+                             cfg: DiffRenderConfig, slots: int = 8):
+    """Deferred differentiable tile render: visibility + slot shading.
+
+    Exact-equal to render_tile_set when slots >= the scene's max per-pixel
+    write count (hard mode: always, with one slot).  Returns
+    (tiles (T, ts, ts, 4), max_writes () i32 for overflow monitoring).
+    """
+    slot_steps, maxw = visibility_slots(setup, tile_pids, origins, cfg,
+                                        slots)
+    return shade_slots(setup, tile_pids, slot_steps, origins, cfg), maxw
+
+
 def render(params, static, cfg: DiffRenderConfig):
     """Differentiable forward render.
 
@@ -238,25 +448,39 @@ def render(params, static, cfg: DiffRenderConfig):
         'tile_xy'   (T, 2)  tile coords
     Returns (Hp, Wp, 4) float32 RGBA image (padded to tile multiples).
     """
-    indices = static["indices"]
-    tile_pids = static["tile_pids"]
-    tile_xy = static["tile_xy"]
+    setup = prim_setup(params, static["indices"], cfg)
+    tiles = render_tile_set(setup, static["tile_pids"],
+                            static["tile_xy"] * (1 << cfg.tile_logsize), cfg)
+    return _assemble(tiles, static["tile_xy"], cfg)
 
+
+def _assemble(tiles, tile_xy, cfg: DiffRenderConfig):
+    """Scatter (T, ts, ts, 4) tiles into the padded (Hp, Wp, 4) canvas."""
     ts = 1 << cfg.tile_logsize
     Hp = -(-cfg.height // ts) * ts
     Wp = -(-cfg.width // ts) * ts
     gh, gw = Hp // ts, Wp // ts
-
-    setup = prim_setup(params, indices, cfg)
-    tiles = render_tile_set(setup, tile_pids, tile_xy * ts, cfg)
-
-    # scatter tiles into the padded canvas
     canvas = jnp.broadcast_to(
         jnp.asarray(cfg.background, F32), (gh, gw, ts, ts, 4)
     ).astype(F32)
     canvas = canvas.at[tile_xy[:, 1], tile_xy[:, 0]].set(tiles)
-    img = canvas.transpose(0, 2, 1, 3, 4).reshape(Hp, Wp, 4)
-    return img
+    return canvas.transpose(0, 2, 1, 3, 4).reshape(Hp, Wp, 4)
+
+
+def render_deferred(params, static, cfg: DiffRenderConfig, slots: int = 8):
+    """Fast differentiable render (same contract as render()).
+
+    Two-pass: non-differentiable K-slot visibility (visibility_slots) +
+    differentiable slot shading (shade_slots).  Matches render() exactly
+    when slots covers the scene's per-pixel write count; hard mode (no
+    alpha blend, no edge softening) is always exact with its single
+    winner slot.  Returns (image, max_writes).
+    """
+    ts = 1 << cfg.tile_logsize
+    setup = prim_setup(params, static["indices"], cfg)
+    tiles, maxw = render_tile_set_deferred(
+        setup, static["tile_pids"], static["tile_xy"] * ts, cfg, slots)
+    return _assemble(tiles, static["tile_xy"], cfg), maxw
 
 
 def render_cropped(params, static, cfg: DiffRenderConfig):

@@ -272,6 +272,61 @@ def _render_deferred_jit(render_state, texels, edges, attribs, zattr,
     return fb_color, fb_ds, max_cnt
 
 
+@functools.partial(jax.jit, static_argnames=("render_state", "tile_logsize"))
+def _count_jit(render_state, edges, zattr, tile_pids, tile_xy, fb_ds,
+               tile_logsize):
+    """MEASURED per-draw fragment counters (emulator.cpp:416-545 analog).
+
+    Replays pass 1's exact coverage + depth/stencil carry against the live
+    depth-stencil buffer and counts, per draw:
+      covered  — fragments emitted by the rasterizer (stamp/tex-read count)
+      passing  — fragments that pass the ds test (OM write count)
+    Unlike runtime.perf.drawcall_traffic's coverage-area upper bound, these
+    are the actual counts the reference's units would record.
+    """
+    ts = 1 << tile_logsize
+    Hp, Wp = fb_ds.shape
+    gh, gw = Hp // ts, Wp // ts
+    fbd_t = fb_ds.reshape(gh, ts, gw, ts).transpose(0, 2, 1, 3)
+    sel_d = fbd_t[tile_xy[:, 1], tile_xy[:, 0]]
+    om = render_state.om
+    flags = render_state.flags
+
+    def one_tile(pids, ds0, origin):
+        ys = jax.lax.broadcasted_iota(I32, (ts, ts), 0) + origin[1]
+        xs = jax.lax.broadcasted_iota(I32, (ts, ts), 1) + origin[0]
+
+        def step(carry, pid):
+            dsw, ncov, npass = carry
+            valid = pid >= 0
+            p = jnp.maximum(pid, 0)
+            evals = edge_mod.eval_edges(edges[p], xs, ys)
+            cov = edge_mod.coverage(evals, xs, ys,
+                                    render_state.scissor) & valid
+            dx, dy = interp_mod.gradients(evals)
+            dsw, contrib = _ds_update(om, flags, zattr[p], dx, dy, cov, dsw)
+            return (dsw, ncov + cov.sum(dtype=I32),
+                    npass + contrib.sum(dtype=I32)), None
+
+        (dsw, ncov, npass), _ = jax.lax.scan(
+            step, (ds0, jnp.int32(0), jnp.int32(0)), pids)
+        return ncov, npass
+
+    ncov, npass = jax.vmap(one_tile)(tile_pids, sel_d, tile_xy * ts)
+    return ncov.sum(), npass.sum()
+
+
+def measure_drawcall_counts(render_state: RenderState, binned,
+                            fb_ds) -> dict:
+    """Exact fragment counts for one drawcall against the current ds
+    buffer.  Returns {"fragments": covered, "om_passing": passing}."""
+    ncov, npass = _count_jit(
+        render_state, jnp.asarray(binned.edges),
+        jnp.asarray(binned.attribs[:, 0]), jnp.asarray(binned.tile_pids),
+        jnp.asarray(binned.tile_xy), fb_ds, binned.tile_logsize)
+    return {"fragments": int(ncov), "om_passing": int(npass)}
+
+
 def _next_pow2(n: int) -> int:
     k = 1
     while k < n:

@@ -90,11 +90,16 @@ def make_sharded_render(mesh, cfg: pipeline.DiffRenderConfig):
 
 
 def make_train_step(mesh, cfg: pipeline.DiffRenderConfig, lr: float = 0.1,
-                    trainable: tuple = ("color", "pos", "uv", "tex")):
+                    trainable: tuple = ("color", "pos", "uv", "tex"),
+                    deferred: bool = True, slots: int = 8):
     """Inverse-rendering SGD step, tile-sharded with gradient all-reduce.
 
     target_tiles are pre-gathered per tile on the host (the per-chip loss
     only touches local tiles — no image-sized communication in the loss).
+    deferred=True uses the two-pass pipeline (non-diff K-slot visibility +
+    O(pixels*K) differentiable shading) — the backward never traverses the
+    per-prim scan; exact vs the scan renderer in hard mode, and for
+    blend/soft modes whenever per-pixel writes fit the slot count.
     Returns step(params, static_arrays, target_tiles) -> (params, loss).
     """
     ts = 1 << cfg.tile_logsize
@@ -108,8 +113,12 @@ def make_train_step(mesh, cfg: pipeline.DiffRenderConfig, lr: float = 0.1,
     def _grads(params, indices, tile_pids, tile_xy, tile_valid, target_tiles):
         def local_loss(params):
             setup = pipeline.prim_setup(params, indices, cfg)
-            tiles = pipeline.render_tile_set(setup, tile_pids, tile_xy * ts,
-                                             cfg)
+            if deferred:
+                tiles, _ = pipeline.render_tile_set_deferred(
+                    setup, tile_pids, tile_xy * ts, cfg, slots)
+            else:
+                tiles = pipeline.render_tile_set(setup, tile_pids,
+                                                 tile_xy * ts, cfg)
             err = (tiles - target_tiles) ** 2
             return jnp.sum(err * tile_valid[:, None, None, None])
 

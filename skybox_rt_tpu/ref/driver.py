@@ -74,11 +74,16 @@ def render_trace(trace: cgltrace.CGLTrace, width: int, height: int,
                  tile_logsize: int = C.RASTER_TILE_LOGSIZE,
                  start_draw: int = 0, end_draw: int = 2**31,
                  stats: FrameStats | None = None,
-                 mode: str = "immediate") -> np.ndarray:
+                 mode: str = "immediate",
+                 measure_traffic: bool = False) -> np.ndarray:
     """Render a full trace; returns the (H, W) uint32 ARGB framebuffer.
 
     mode: "immediate" (the ref oracle) or "deferred" (optimized exact path,
     ops.deferred; falls back per drawcall when not equivalence-safe).
+    measure_traffic: with stats, run the exact fragment-counting pass per
+    draw against the live ds buffer (ops.deferred.measure_drawcall_counts)
+    so stats.traffic carries MEASURED tex/OM traffic instead of the
+    coverage-area upper bound.
     """
     if mode == "deferred":
         from ..ops import deferred as deferred_mod
@@ -123,6 +128,12 @@ def render_trace(trace: cgltrace.CGLTrace, width: int, height: int,
             flags=flags, om=om_state, tex=tex_state,
             scissor=(0, 0, width, height),  # main.cpp:220-221
         )
+        counts = None
+        if stats is not None and measure_traffic:
+            from ..ops import deferred as deferred_mod
+
+            counts = deferred_mod.measure_drawcall_counts(
+                render_state, binned, fbd)
         fbc, fbd = render_dc(render_state, texels, binned, fbc, fbd)
         if stats is not None:
             from ..runtime import perf as perf_mod
@@ -130,7 +141,8 @@ def render_trace(trace: cgltrace.CGLTrace, width: int, height: int,
             stats.drawcalls += 1
             stats.prims_binned += binned.num_prims
             stats.tiles += binned.num_tiles
-            stats.add_traffic(perf_mod.drawcall_traffic(binned, render_state))
+            stats.add_traffic(perf_mod.drawcall_traffic(
+                binned, render_state, counts=counts))
 
     return np.asarray(fbc)[:height, :width]
 

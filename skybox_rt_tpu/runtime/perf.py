@@ -70,17 +70,21 @@ def cost_analysis(fn, *args, **kwargs) -> dict:
     return out
 
 
-def drawcall_traffic(binned, render_state) -> dict:
-    """Analytic memory-traffic model for one binned drawcall.
+def drawcall_traffic(binned, render_state, counts: dict | None = None) -> dict:
+    """Memory-traffic model for one binned drawcall.
 
     Mirrors what the reference's units issue per draw:
       raster: tile header (8B) + pid word (4B/pid) + 9 edge words per
-              pid-reference (raster_unit.cpp:153-204)
+              pid-reference (raster_unit.cpp:153-204) — exact from binning
       tex:    4 texel fetches per textured fragment (bilinear) or 1 (point)
       om:     conditional zbuf/cbuf read + write words (om_unit.cpp:85-136)
-    Fragment counts are upper-bounded by coverage-area estimates: exact
-    fragment counting requires running the raster pass; the driver can
-    substitute measured counts when available.
+
+    counts: MEASURED fragment counts from
+    ops.deferred.measure_drawcall_counts ({"fragments", "om_passing"}) —
+    the emulator.cpp:416-545 measured-counter semantics: tex reads and OM
+    reads are per covered fragment, OM writes per ds-passing fragment.
+    Without counts, fragments fall back to the coverage-area upper bound
+    (every pid covers its whole tile) and keys carry a ``_ub`` suffix.
     """
     om = render_state.om
     flags = render_state.flags
@@ -89,33 +93,45 @@ def drawcall_traffic(binned, render_state) -> dict:
 
     raster_reads = num_tiles * 8 + total_pid_refs * (4 + 9 * 4)
 
-    ts = 1 << binned.tile_logsize
-    # conservative fragment upper bound: every pid covers its whole tile
-    frag_upper = total_pid_refs * ts * ts
+    measured = counts is not None
+    if measured:
+        frags = int(counts["fragments"])
+        passing = int(counts["om_passing"])
+    else:
+        ts = 1 << binned.tile_logsize
+        # conservative fragment upper bound: every pid covers its whole tile
+        frags = total_pid_refs * ts * ts
+        passing = frags
+    suffix = "" if measured else "_ub"
 
     if flags.tex_enabled and render_state.tex is not None:
         import skybox_rt_tpu.core.constants as C
         stride = C.TEX_FORMAT_STRIDE[render_state.tex.format]
         texels = 4 if render_state.tex.filter == C.TEX_FILTER_BILINEAR else 1
-        tex_reads = frag_upper * texels * stride
+        tex_reads = frags * texels * stride
     else:
         tex_reads = 0
 
     depth_en = om.ds.depth_enabled
     stencil_en = om.ds.stencil_enabled(False) or om.ds.stencil_enabled(True)
-    om_reads = frag_upper * 4 * (
+    om_reads = frags * 4 * (
         (1 if (depth_en or stencil_en) else 0)
         + (1 if (om.color_write and om.blend.enabled) else 0))
-    om_writes = frag_upper * 4 * (
+    om_writes = passing * 4 * (
         (1 if (depth_en and om.depth_writemask) or stencil_en else 0)
         + (1 if om.color_write else 0))
 
-    return {
+    out = {
         "raster_mem_reads_bytes": raster_reads,
-        "tex_mem_reads_bytes_ub": tex_reads,
-        "om_mem_reads_bytes_ub": om_reads,
-        "om_mem_writes_bytes_ub": om_writes,
-        "fragments_upper_bound": frag_upper,
+        f"tex_mem_reads_bytes{suffix}": tex_reads,
+        f"om_mem_reads_bytes{suffix}": om_reads,
+        f"om_mem_writes_bytes{suffix}": om_writes,
         "tiles": num_tiles,
         "prims": binned.num_prims,
     }
+    if measured:
+        out["fragments"] = frags
+        out["om_write_fragments"] = passing
+    else:
+        out["fragments_upper_bound"] = frags
+    return out

@@ -93,6 +93,70 @@ def test_drawcall_traffic_model():
     assert t["fragments_upper_bound"] >= 0
 
 
+def test_measured_drawcall_counts():
+    """Measured counters (emulator.cpp:416-545 analog): the counting pass
+    must agree with the rendered image — for a single opaque triangle on
+    cleared buffers, covered == passing == written pixels — and always sit
+    at or below the coverage-area upper bound."""
+    import jax.numpy as jnp
+
+    from skybox_rt_tpu.core import state as state_mod
+    from skybox_rt_tpu.geom import binning, cgltrace
+    from skybox_rt_tpu.ops import deferred as deferred_mod
+    from skybox_rt_tpu.ref import driver, renderer
+    from skybox_rt_tpu.runtime import perf as perf_mod
+
+    trace = cgltrace.load_cached(cgltrace.trace_path("triangle"))
+    dc = trace.drawcalls[0]
+    binned = binning.bin_drawcall(
+        dc.pos, dc.indices, dc.color, dc.texcoord, 64, 64,
+        dc.near, dc.far, 5)
+    rs = state_mod.RenderState(
+        flags=state_mod.make_shader_flags(
+            dc.states.depth_test, dc.states.color_enabled,
+            dc.states.texture_enabled, dc.states.texture_envmode),
+        om=state_mod.make_om_state(dc.states),
+        tex=None, scissor=(0, 0, 64, 64))
+
+    fbc = jnp.asarray(renderer.pad_framebuffer(
+        np.full((64, 64), driver.CLEAR_COLOR, np.uint32), 5))
+    fbd = jnp.asarray(renderer.pad_framebuffer(
+        np.full((64, 64), driver.CLEAR_DEPTH, np.uint32), 5))
+    counts = deferred_mod.measure_drawcall_counts(rs, binned, fbd)
+
+    out_c, _ = renderer.render_drawcall(rs, None, binned, fbc, fbd)
+    written = int((np.asarray(out_c) != driver.CLEAR_COLOR).sum())
+    assert counts["fragments"] == written
+    assert counts["om_passing"] == written
+
+    t = perf_mod.drawcall_traffic(binned, rs, counts=counts)
+    tu = perf_mod.drawcall_traffic(binned, rs)
+    assert t["fragments"] <= tu["fragments_upper_bound"]
+    assert t["om_mem_writes_bytes"] <= tu["om_mem_writes_bytes_ub"]
+    # this scene has depth test off: only the color word is written
+    assert t["om_mem_writes_bytes"] == written * 4
+
+
+def test_render_trace_measured_traffic():
+    """Full-frame measured traffic on tekkaman: measured fragment totals
+    are positive and below the upper bound."""
+    from skybox_rt_tpu.geom import cgltrace
+    from skybox_rt_tpu.ref import driver
+
+    trace = cgltrace.load_cached(cgltrace.trace_path("tekkaman"))
+    stats_m = driver.FrameStats()
+    driver.render_trace(trace, 64, 64, stats=stats_m, mode="deferred",
+                        measure_traffic=True)
+    stats_u = driver.FrameStats()
+    driver.render_trace(trace, 64, 64, stats=stats_u, mode="deferred")
+    assert stats_m.traffic["fragments"] > 0
+    assert (stats_m.traffic["fragments"]
+            < stats_u.traffic["fragments_upper_bound"])
+    assert (stats_m.traffic["tex_mem_reads_bytes"]
+            <= stats_u.traffic["tex_mem_reads_bytes_ub"])
+    assert stats_m.traffic["om_write_fragments"] > 0
+
+
 def _run_cli(*argv):
     return subprocess.run(
         [sys.executable, "-m", "skybox_rt_tpu", *argv],
