@@ -1,0 +1,88 @@
+"""On-chip benchmark: worklist-driven large-scene RT kernel vs the dense
+(G, NB)-grid streamed kernel (VERDICT #4 — target >= 10 Mrays/s @ 100k
+tris @ 1024^2).  Run exclusively, detached (see rt_chip_bench.py header)."""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def timeit(fn, n=5):
+    import jax
+    r = fn()
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        r = fn()
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / n
+
+
+def multi_sphere(subdiv, copies):
+    """`copies` translated icospheres — scales triangle count without
+    changing the per-triangle geometry statistics."""
+    from skybox_rt_tpu.models import scenes
+    verts, faces = scenes.icosphere(subdiv=subdiv)
+    vs, fs = [], []
+    grid = int(np.ceil(np.sqrt(copies)))
+    for i in range(copies):
+        dx = (i % grid - (grid - 1) / 2) * 2.4
+        dy = (i // grid - (grid - 1) / 2) * 2.4
+        vs.append(verts + np.asarray([dx, dy, 0], np.float32))
+        fs.append(faces + i * verts.shape[0])
+    return np.concatenate(vs), np.concatenate(fs)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from skybox_rt_tpu.ops import pallas_rt
+    from skybox_rt_tpu.rt import bvh as bvh_mod
+    from skybox_rt_tpu.rt import intersect, tracer, wavefront
+
+    print("platform:", jax.devices()[0].platform, flush=True)
+    W = H = 1024
+    R = W * H
+    cam = tracer.Camera(eye=(0.0, 0.6, 9.0), look_at=(0.0, 0.0, 0.0))
+    o, d = tracer.camera_rays(cam, W, H)
+    perm, _ = wavefront.tile_order_perm(W, H, 32)
+    o_t = jnp.asarray(np.asarray(o)[perm])
+    d_t = jnp.asarray(np.asarray(d)[perm])
+
+    cases = [
+        ("ico5x1", 5, 1),     # 20,480 tris
+        ("ico5x5", 5, 5),     # 102,400 tris — the VERDICT target size
+        ("ico6x1", 6, 1),     # 81,920 tris
+        ("ico6x4", 6, 4),     # 327,680 tris
+    ]
+    for name, subdiv, copies in cases:
+        verts, faces = multi_sphere(subdiv, copies)
+        P = faces.shape[0]
+        tri = intersect.triangle_arrays(jnp.asarray(verts),
+                                        jnp.asarray(faces))
+        bvh = bvh_mod.build(verts, faces)
+        order = bvh_mod.build_clusters(bvh, max_tris=64)["order"]
+
+        t0 = time.perf_counter()
+        t = timeit(lambda: pallas_rt.closest_hit_worklist(
+            o_t, d_t, *tri, order=order))
+        print(f"worklist {name} P={P}: {t*1e3:.2f} ms  "
+              f"{R/t/1e6:.1f} Mrays/s  "
+              f"(compile+run1 {time.perf_counter()-t0:.0f}s)", flush=True)
+
+        if P <= 90000:     # streamed comparison in the same window
+            t0 = time.perf_counter()
+            t = timeit(lambda: pallas_rt.closest_hit_streamed(
+                o_t, d_t, *tri, order=order))
+            print(f"streamed {name} P={P}: {t*1e3:.2f} ms  "
+                  f"{R/t/1e6:.1f} Mrays/s  "
+                  f"(compile+run1 {time.perf_counter()-t0:.0f}s)",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

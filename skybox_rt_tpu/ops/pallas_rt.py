@@ -603,6 +603,190 @@ def closest_hit_streamed(orig, direction, v0, e1, e2, order=None,
     return prim, t, u, v
 
 
+# ---------------------------------------------------------------------------
+# Worklist-driven large-scene closest hit.
+#
+# The streamed kernel above pays ~10 us of fixed cost per grid step over a
+# DENSE (G, NB) grid, so even fully-gated-off steps dominate at large NB
+# (PERF.md: 0.8 Mrays/s @82k tris).  This kernel's grid is over ray blocks
+# ONLY; each program walks its own compacted active-block worklist with
+# in-kernel double-buffered HBM->VMEM DMA of the triangle blocks, so cost
+# scales with ACTIVE (ray block, tri block) pairs and the per-block step is
+# a cheap fori iteration instead of a grid step.  Plays the role of the
+# reference's per-unit tile worklist (raster_unit.cpp:221-227: each unit
+# drains only the tiles assigned to it).
+# ---------------------------------------------------------------------------
+
+
+def _make_worklist_kernel(t_min: float, tri_block: int, sub: int):
+    def kernel(bi_ref, bc_ref, ba_ref,            # SMEM: worklist + AABBs
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               tmax_ref,                          # VMEM ray tiles
+               tri_hbm,                           # (Pp, 16) resident in HBM
+               bt_ref, bp_ref, bu_ref, bv_ref,    # outs (1, sub*8, 128)
+               tri_vmem, sem):                    # scratch: (2, TB, 16) + DMA
+        cnt = bc_ref[0, 0]
+        bt_ref[0] = tmax_ref[0]
+        bp_ref[0] = jnp.full(bt_ref.shape[1:], -1, I32)
+        bu_ref[0] = jnp.zeros(bt_ref.shape[1:], F32)
+        bv_ref[0] = jnp.zeros(bt_ref.shape[1:], F32)
+
+        def get_dma(slot, i):
+            nb = bi_ref[0, i]
+            return pltpu.make_async_copy(
+                tri_hbm.at[pl.ds(nb * tri_block, tri_block), :],
+                tri_vmem.at[slot],
+                sem.at[slot])
+
+        @pl.when(cnt > 0)
+        def _warm():
+            get_dma(0, 0).start()
+
+        def loop(i, _):
+            slot = jax.lax.rem(i, 2)
+
+            # overlap: next block's DMA in flight while this one computes
+            @pl.when(i + 1 < cnt)
+            def _next():
+                get_dma(1 - slot, i + 1).start()
+
+            get_dma(slot, i).wait()
+            nb = bi_ref[0, i]
+            base = nb * tri_block
+            trs = tri_vmem.at[slot]
+
+            def sub_body(s, _):
+                r = pl.ds(s * 8, 8)
+                ox = ox_ref[0, r]
+                oy = oy_ref[0, r]
+                oz = oz_ref[0, r]
+                dx = dx_ref[0, r]
+                dy = dy_ref[0, r]
+                dz = dz_ref[0, r]
+
+                # slab re-test vs the running best_t: the pre-pass used
+                # the static t_max, so this prunes blocks behind hits
+                # already found earlier in the worklist
+                tn, tf = _slab(ba_ref, nb, ox, oy, oz,
+                               _inv_dir(dx), _inv_dir(dy), _inv_dir(dz),
+                               bt_ref[0, r])
+
+                @pl.when(jnp.any(tn <= tf))
+                def _():
+                    def step(j, _):
+                        best_t = bt_ref[0, r]
+                        hit, t, u, v = _mt_one(ox, oy, oz, dx, dy, dz,
+                                               trs[j], t_min, best_t)
+                        bt_ref[0, r] = jnp.where(hit, t, best_t)
+                        bp_ref[0, r] = jnp.where(hit, base + j,
+                                                 bp_ref[0, r])
+                        bu_ref[0, r] = jnp.where(hit, u, bu_ref[0, r])
+                        bv_ref[0, r] = jnp.where(hit, v, bv_ref[0, r])
+                        return 0
+
+                    jax.lax.fori_loop(0, tri_block, step, 0)
+                return 0
+
+            jax.lax.fori_loop(0, sub, sub_body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, cnt, loop, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("t_min", "tri_block", "sub",
+                                             "interpret"))
+def _worklist_call(rays, tri, tmax_arr, blk_aabb, t_min, tri_block, sub,
+                   interpret):
+    G = rays[0].shape[0]
+    NB = blk_aabb.shape[0]
+    blkidx, blkcnt = _active_block_lists(rays, blk_aabb, tmax_arr)
+    kernel = _make_worklist_kernel(t_min, tri_block, sub)
+    ray_spec = pl.BlockSpec((1, sub * 8, LANES), lambda g: (g, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, NB), lambda g: (g, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda g: (g, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((NB, 8), lambda g: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ] + [ray_spec] * 7 + [
+            pl.BlockSpec(memory_space=pl.ANY),      # triangles stay in HBM
+        ],
+        out_specs=(ray_spec,) * 4,
+        out_shape=(
+            jax.ShapeDtypeStruct((G, sub * 8, LANES), F32),
+            jax.ShapeDtypeStruct((G, sub * 8, LANES), I32),
+            jax.ShapeDtypeStruct((G, sub * 8, LANES), F32),
+            jax.ShapeDtypeStruct((G, sub * 8, LANES), F32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tri_block, 16), F32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(blkidx, blkcnt.reshape(G, 1), blk_aabb, *rays, tmax_arr, tri)
+
+
+def closest_hit_worklist(orig, direction, v0, e1, e2, order=None,
+                         t_max=None, t_min: float = 1e-4,
+                         tri_block: int = TRI_BLOCK, sub: int = 4,
+                         interpret: bool = False):
+    """Large-scene closest hit, worklist-driven: the grid covers ray blocks
+    only; each program double-buffer-DMAs its ACTIVE triangle blocks from
+    HBM (XLA slab pre-pass -> compacted per-ray-block lists) and
+    intersects them in-kernel.  Unlike `closest_hit_streamed` there is no
+    dense (G, NB) grid, so fully-culled blocks cost nothing and the block
+    count is not SMEM-capped — scales past 100k triangles.  Pass `order`
+    (rt.bvh.build_clusters treelet order) so blocks are spatially tight.
+
+    Returns (prim (R,) i32 in ORIGINAL ids, t, u, v)."""
+    P = v0.shape[0]
+    rays, R, Rp, G = _pack_rays(orig, direction, sub=sub)
+    order = None if order is None else jnp.asarray(order)
+    tri = _pack_tris(v0, e1, e2, order=order)
+    # the (G, NB) worklist table lives in HBM (blocked (1, NB) into SMEM),
+    # so NB is bounded only by the XLA pre-pass; cap it loosely to keep
+    # the pre-pass temporaries sane on enormous scenes
+    NB_MAX = 4096
+    needed = -(-tri.shape[0] // NB_MAX)
+    tri_block = max(tri_block, -(-needed // 512) * 512)
+    Pp0 = tri.shape[0]
+    if Pp0 % tri_block:
+        padn = tri_block - Pp0 % tri_block
+        padrow = jnp.zeros((padn, 16), F32).at[:, 0:3].set(tri[0, 0:3])
+        tri = jnp.concatenate([tri, padrow], 0)
+    nzpad = tri.shape[0] - P
+    if nzpad:
+        # padding rows are degenerate (det 0) but must stay AABB-neutral
+        fix = jnp.broadcast_to(tri[0, 0:3], (nzpad, 3))
+        tri = tri.at[P:, 0:3].set(fix)
+    tmax_arr = _pack_tmax(t_max, G, sub=sub)
+    blk_aabb = _block_aabbs(tri, tri_block)
+
+    bt, bp, bu, bv = _worklist_call(rays, tri, tmax_arr, blk_aabb,
+                                    t_min, tri_block, sub, interpret)
+
+    slot = bp.reshape(Rp)[:R]
+    miss = (slot < 0) | (slot >= P)
+    if order is None:
+        prim = jnp.where(miss, jnp.int32(-1), slot)
+    else:
+        prim = jnp.where(miss, jnp.int32(-1),
+                         order[jnp.clip(slot, 0, P - 1)])
+    t = jnp.where(miss, jnp.inf, bt.reshape(Rp)[:R])
+    u = jnp.where(miss, 0.0, bu.reshape(Rp)[:R])
+    v = jnp.where(miss, 0.0, bv.reshape(Rp)[:R])
+    return prim, t, u, v
+
+
 def _make_clustered_anyhit_kernel(num_clusters: int, t_min: float):
     def kernel(cf_ref, cc_ref, ca_ref,            # scalar-prefetch (SMEM)
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,

@@ -1,13 +1,25 @@
 """Ray-traced rendering of CGLTrace (draw3d) scenes.
 
-The reference's raster pipeline and this framework's RT path meet here:
-every drawcall's clip-space geometry is mapped to screen space
-(geom/transform.clip_to_screen, the same viewport mapping binning uses)
-and rendered with orthographic per-pixel rays marching along depth —
-a ray trace whose closest hit reproduces the depth test and whose
-screen-space barycentrics, reweighted by 1/w, give perspective-correct
-attribute interpolation (the float analog of the draw3d kernel's
-edge-value interpolation, tests/regression/draw3d/kernel.cpp:16-229).
+The reference's raster pipeline and this framework's RT path meet here.
+Two camera models are provided (`camera=` of render_trace_rt):
+
+  * "screen" — every drawcall's clip-space geometry is mapped to screen
+    space (geom/transform.clip_to_screen, the same viewport mapping
+    binning uses) and rendered with orthographic per-pixel rays marching
+    along depth; screen-space barycentrics reweighted by 1/w give
+    perspective-correct attribute interpolation (the float analog of the
+    draw3d kernel's edge-value interpolation,
+    tests/regression/draw3d/kernel.cpp:16-229).
+  * "perspective" — a REAL perspective eye: rays diverge from the origin
+    of the space (x_clip, y_clip, w_clip), which is the application's
+    view space up to an anisotropic linear scale (for any projection
+    matrix with w_clip linear in view z).  A point projects to the pixel
+    whose NDC is (x_c/w_c, y_c/w_c) — exactly the rasterizer's viewport
+    mapping — so coverage matches the raster per pixel; and because the
+    space is a LINEAR image of view space, plain 3D barycentrics on the
+    hit triangle interpolate attributes perspective-correctly (no 1/w
+    reweighting).  Depth for the z-buffer is z_ndc = z_clip/w_clip at the
+    hit, viewport-mapped — identical to the raster's interpolated z.
 
 This is deliberately a float renderer: it cross-validates the bit-exact
 fixed-point raster path scene-by-scene (tests/test_raster_bridge.py
@@ -16,11 +28,17 @@ demonstrates that the RT engines handle arbitrary production geometry,
 not just procedural meshes.
 
 Depth-winner selection per drawcall:
-  LESS/LEQUAL   -> closest hit on z
-  GREATER/GEQUAL-> closest hit on -z
-  ALWAYS/others -> last-submitted primitive wins (hit on -prim_index),
-                   matching the raster's submission-order semantics when
-                   the depth test can't order fragments.
+  LESS/LEQUAL   -> closest hit (screen: on z; perspective: smallest w —
+                   same winner whenever z_ndc is monotonic in view depth,
+                   true of standard projection matrices)
+  GREATER/GEQUAL-> farthest hit (screen: closest on -z; perspective: the
+                   ray starts beyond the scene and marches back)
+  ALWAYS/others -> last-submitted primitive wins (orthographic hit on
+                   -prim_index), matching the raster's submission-order
+                   semantics when the depth test can't order fragments;
+                   the perspective camera falls back to the screen-space
+                   machinery for these drawcalls (same coverage — both
+                   cameras realize the identical viewport projection).
 
 Known approximations (bounded by the per-pixel cross-validation tests,
 not exact):
@@ -75,6 +93,7 @@ def _screen_triangles(dc, width: int, height: int):
     return {
         "xy_z": screen[:, :3],           # (V, 3) sx, sy, sz
         "rhw": screen[:, 3],             # (V,) 1/w
+        "clip": pos,                     # (V, 4) clip-space positions
         "indices": idx.astype(np.int32),
         "color": np.asarray(dc.color, np.float32),
         "uv": np.asarray(dc.texcoord, np.float32),
@@ -110,14 +129,8 @@ def _winner_tris(geo, key):
     return np.ascontiguousarray(tri.astype(np.float32))
 
 
-def _closest_hit(tri, px, py, engine: str):
-    """Orthographic rays through the pixel grid against `tri` (P, 3, 3).
-
-    Rays start below every selection key and march along +key, so the
-    first hit is the winner.  Returns (prim (R,), u, v)."""
-    kmin = float(tri[..., 2].min()) - 1.0
-    o = jnp.stack([px, py, jnp.full_like(px, kmin)], -1)
-    d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], F32), o.shape)
+def _run_engine(tri, o, d, engine: str):
+    """Closest hit of rays (o, d) against `tri` (P, 3, 3) float32."""
     v0 = jnp.asarray(tri[:, 0])
     e1 = jnp.asarray(tri[:, 1] - tri[:, 0])
     e2 = jnp.asarray(tri[:, 2] - tri[:, 0])
@@ -132,6 +145,46 @@ def _closest_hit(tri, px, py, engine: str):
             bvh.as_stackless_arrays(), (v0, e1, e2), o, d,
             t_min=1e-6, leaf_size=bvh.leaf_size)
     return prim, u, v
+
+
+def _closest_hit(tri, px, py, engine: str):
+    """Orthographic rays through the pixel grid against `tri` (P, 3, 3).
+
+    Rays start below every selection key and march along +key, so the
+    first hit is the winner.  Returns (prim (R,), u, v)."""
+    kmin = float(tri[..., 2].min()) - 1.0
+    o = jnp.stack([px, py, jnp.full_like(px, kmin)], -1)
+    d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], F32), o.shape)
+    return _run_engine(tri, o, d, engine)
+
+
+def _persp_hit(geo, nx, ny, farthest: bool, engine: str):
+    """Perspective rays from the eye (origin of (x_c, y_c, w_c) space)
+    through the pixel grid's NDC.  `farthest` starts the rays beyond the
+    scene marching back toward the eye (GREATER/GEQUAL winner).
+    Returns (prim (R,), u, v) with 3D barycentrics."""
+    clip = geo["clip"]
+    tri = clip[geo["indices"]][:, :, [0, 1, 3]]    # (P, 3, 3) x_c, y_c, w_c
+    tri = np.ascontiguousarray(tri.astype(np.float32))
+    dirs = jnp.stack([nx, ny, jnp.ones_like(nx)], -1)
+    if farthest:
+        D = float(tri[..., 2].max()) + 1.0
+        o = dirs * D
+        d = -dirs
+    else:
+        o = jnp.zeros_like(dirs)
+        d = dirs
+    return _run_engine(tri, o, d, engine)
+
+
+def _interp_bary(attr, idx, prim, u, v):
+    """Plain 3D-barycentric interpolation (perspective camera: the hit
+    space is a linear image of view space, so this IS perspective-correct
+    — no 1/w reweighting)."""
+    p = jnp.maximum(prim, 0)
+    tri_idx = idx[p]                      # (R, 3)
+    w = jnp.stack([1.0 - u - v, u, v], -1)
+    return jnp.sum(attr[tri_idx] * w[..., None], 1)
 
 
 def _interp_pc(attr, idx, rhw, prim, u, v):
@@ -214,10 +267,14 @@ def _sample_texture_wrap(tex, u, v, repeat: bool, bilinear: bool):
 
 
 def render_trace_rt(trace: cgltrace.CGLTrace, width: int, height: int,
-                    engine: str = "bvh",
+                    engine: str = "bvh", camera: str = "screen",
                     start_draw: int = 0, end_draw: int = 2 ** 31):
     """Ray-trace a CGLTrace scene -> (H, W, 4) float32 RGBA (row 0 = top,
     same layout as ref.driver framebuffers).
+
+    camera: "screen" (orthographic screen-space rays) or "perspective"
+    (rays diverging from the real eye implied by the clip-space
+    vertices — see module docstring).
 
     Cites: drawcall loop ≅ tests/regression/draw3d/main.cpp:171-373;
     per-drawcall state ≅ the DCR writes at main.cpp:216-331.
@@ -225,6 +282,10 @@ def render_trace_rt(trace: cgltrace.CGLTrace, width: int, height: int,
     ys, xs = np.mgrid[0:height, 0:width]
     px = jnp.asarray((xs + 0.5).astype(np.float32).ravel())
     py = jnp.asarray((ys + 0.5).astype(np.float32).ravel())
+    # pixel-center NDC for the perspective eye (inverse of the viewport
+    # mapping in geom/transform.clip_to_screen)
+    nx = px * (2.0 / width) - 1.0
+    ny = py * (2.0 / height) - 1.0
 
     color = jnp.zeros((height * width, 4), F32).at[:, 3].set(1.0)
     zbuf = jnp.full((height * width,), np.float32(np.inf), F32)
@@ -238,19 +299,38 @@ def render_trace_rt(trace: cgltrace.CGLTrace, width: int, height: int,
         geo = _screen_triangles(dc, width, height)
         if geo is None:
             continue
-        prim, u, v = _closest_hit(_winner_tris(geo, _depth_key(geo, st)),
-                                  px, py, engine)
-        hit = prim >= 0
-
         idx = jnp.asarray(geo["indices"])
         rhw = jnp.asarray(geo["rhw"])
-        z = _interp_pc(jnp.asarray(geo["xy_z"][:, 2:3]), idx, rhw,
-                       prim, u, v)[:, 0]
+        key = _depth_key(geo, st)
+
+        if camera == "perspective" and key is not None:
+            farthest = st.depth_func in (C.CGL_COMPARE_GREATER,
+                                         C.CGL_COMPARE_GEQUAL)
+            prim, u, v = _persp_hit(geo, nx, ny, farthest, engine)
+
+            def interp(attr, idx=idx, prim=prim, u=u, v=v):
+                return _interp_bary(attr, idx, prim, u, v)
+
+            # z_ndc = z_c/w_c at the hit, viewport-mapped — identical to
+            # the raster's perspective-correct z (clip_to_screen z)
+            zw = interp(jnp.asarray(geo["clip"][:, 2:4]))
+            half_d = 0.5 * (dc.far - dc.near)
+            z = (zw[:, 0] / zw[:, 1]) * half_d + (dc.near + half_d)
+        else:
+            prim, u, v = _closest_hit(_winner_tris(geo, key),
+                                      px, py, engine)
+
+            def interp(attr, idx=idx, rhw=rhw, prim=prim, u=u, v=v):
+                return _interp_pc(attr, idx, rhw, prim, u, v)
+
+            z = interp(jnp.asarray(geo["xy_z"][:, 2:3]))[:, 0]
+        hit = prim >= 0
+
         # color_enabled gates vertex-color INTERPOLATION (the kernel's
         # rgba defaults to 1.0 otherwise, kernel.cpp:16-23); the
         # framebuffer write is gated by color_writemask below
         if st.color_enabled:
-            src = _interp_pc(jnp.asarray(geo["color"]), idx, rhw, prim, u, v)
+            src = interp(jnp.asarray(geo["color"]))
         else:
             src = jnp.ones((prim.shape[0], 4), F32)
 
@@ -259,7 +339,7 @@ def render_trace_rt(trace: cgltrace.CGLTrace, width: int, height: int,
             vx_fmt = C.CGL_TO_VX_FORMAT[tex.format]
             img = jnp.asarray(mipmap.texture_rgba_float(
                 tex.pixels, vx_fmt, tex.width, tex.height))
-            uv = _interp_pc(jnp.asarray(geo["uv"]), idx, rhw, prim, u, v)
+            uv = interp(jnp.asarray(geo["uv"]))
             repeat = st.texture_addressU == C.CGL_ADDRESS_WRAP
             bilinear = st.texture_magfilter != C.CGL_FILTER_NEAREST
             texel = _sample_texture_wrap(img, uv[:, 0], uv[:, 1], repeat,

@@ -57,8 +57,10 @@ class RTConfig:
     textured: bool = False
     use_bvh: bool = True          # legacy toggle: False forces engine=brute
     # engine: 'pallas' (blocked VMEM kernel — the TPU deployment path for
-    # scenes <= ~15k tris), 'bvh' (stackless lockstep traversal),
-    # 'brute' (XLA all-pairs oracle)
+    # scenes <= ~15k tris; auto-falls-back to 'pallas_worklist' beyond),
+    # 'pallas_worklist' (per-ray-block worklists, in-kernel HBM DMA),
+    # 'pallas_streamed' (dense (G, NB) grid — kept for comparison),
+    # 'bvh' (stackless lockstep traversal), 'brute' (XLA all-pairs oracle)
     engine: str = "pallas"
     # re-compact surviving rays to the front before each bounce (SURVEY §5
     # long-context analog: multi-bounce = loop with re-compaction).  Dead
@@ -142,25 +144,28 @@ def make_intersectors(scene: RTScene, cfg: RTConfig):
     engine = cfg.engine if cfg.use_bvh else "brute"
     if engine == "pallas" and scene.faces.shape[0] > PALLAS_MAX_TRIS:
         # the blocked kernel keeps the whole triangle array VMEM-resident
-        # (ops/pallas_rt.py docstring) — large scenes stream triangle
-        # blocks from HBM instead
-        engine = "pallas_streamed"
-    if engine == "pallas_streamed":
+        # (ops/pallas_rt.py docstring) — large scenes walk per-ray-block
+        # worklists with in-kernel HBM DMA instead
+        engine = "pallas_worklist"
+    if engine in ("pallas_streamed", "pallas_worklist"):
         from ..ops import pallas_rt
         import jax
 
+        hit_fn = (pallas_rt.closest_hit_worklist
+                  if engine == "pallas_worklist"
+                  else pallas_rt.closest_hit_streamed)
         interpret = jax.devices()[0].platform not in ("tpu",)
         order = bvh_mod.build_clusters(scene.bvh)["order"]
 
         def closest(o, d, t_max=jnp.inf):
             tm = None if t_max is jnp.inf else jnp.broadcast_to(
                 jnp.asarray(t_max, F32), o.shape[:1])
-            return pallas_rt.closest_hit_streamed(
+            return hit_fn(
                 o, d, *tri, order=order, t_max=tm, interpret=interpret)
 
         def occluded(o, d, t_max):
             tm = jnp.broadcast_to(jnp.asarray(t_max, F32), o.shape[:1])
-            prim, _, _, _ = pallas_rt.closest_hit_streamed(
+            prim, _, _, _ = hit_fn(
                 o, d, *tri, order=order, t_max=tm, interpret=interpret)
             return prim >= 0
     elif engine == "pallas":

@@ -181,3 +181,57 @@ def test_streamed_no_order_and_tmax():
     p_s, t_s, _, _ = pallas_rt.closest_hit_streamed(o, d, *tri, t_max=tm,
                                                     interpret=INTERPRET)
     np.testing.assert_array_equal(np.asarray(p_b), np.asarray(p_s))
+
+
+def test_worklist_matches_bruteforce():
+    """Worklist-driven large-scene kernel (in-kernel HBM DMA) vs brute
+    force; treelet order exercises the compacted per-ray-block lists."""
+    from skybox_rt_tpu.rt import bvh as bvh_mod
+
+    verts, faces = scenes.icosphere(subdiv=3)      # 1280 tris
+    tri = intersect.triangle_arrays(jnp.asarray(verts), jnp.asarray(faces))
+    bvh = bvh_mod.build(verts, faces)
+    clusters = bvh_mod.build_clusters(bvh, max_tris=64)
+
+    o, d = _rays(1500, seed=21)
+    p_b, t_b, _, _ = intersect.closest_hit_bruteforce(o, d, *tri)
+    p_w, t_w, _, _ = pallas_rt.closest_hit_worklist(
+        o, d, *tri, order=clusters["order"], interpret=INTERPRET)
+    p_b_, p_w_ = np.asarray(p_b), np.asarray(p_w)
+    assert ((p_b_ >= 0) == (p_w_ >= 0)).all()
+    hits = p_b_ >= 0
+    np.testing.assert_allclose(np.asarray(t_w)[hits], np.asarray(t_b)[hits],
+                               rtol=1e-5)
+    diff = hits & (p_b_ != p_w_)
+    assert diff.mean() < 0.01          # exact-t ties only
+    np.testing.assert_allclose(np.asarray(t_w)[diff], np.asarray(t_b)[diff],
+                               rtol=1e-5)
+
+
+def test_worklist_no_order_and_tmax():
+    verts, faces = scenes.icosphere(subdiv=1)      # 80 tris: single block,
+    tri = intersect.triangle_arrays(jnp.asarray(verts), jnp.asarray(faces))
+    o, d = _rays(300, seed=23)                     # heavy padding path
+    tm = jnp.full((300,), 2.0, jnp.float32)
+    p_b, t_b, _, _ = intersect.closest_hit_bruteforce(o, d, *tri, t_max=2.0)
+    p_w, t_w, _, _ = pallas_rt.closest_hit_worklist(o, d, *tri, t_max=tm,
+                                                    interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(p_b), np.asarray(p_w))
+
+
+def test_worklist_multiblock_small_block():
+    """Force several triangle blocks (tri_block=512 floor) so the
+    double-buffer loop runs multiple iterations per ray block."""
+    from skybox_rt_tpu.rt import bvh as bvh_mod
+
+    verts, faces = scenes.icosphere(subdiv=3)      # 1280 tris -> NB=3
+    tri = intersect.triangle_arrays(jnp.asarray(verts), jnp.asarray(faces))
+    bvh = bvh_mod.build(verts, faces)
+    clusters = bvh_mod.build_clusters(bvh, max_tris=64)
+    o, d = _rays(900, seed=29)
+    p_s, t_s, _, _ = pallas_rt.closest_hit_streamed(
+        o, d, *tri, order=clusters["order"], interpret=INTERPRET)
+    p_w, t_w, _, _ = pallas_rt.closest_hit_worklist(
+        o, d, *tri, order=clusters["order"], interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(p_s), np.asarray(p_w))
+    np.testing.assert_allclose(np.asarray(t_s), np.asarray(t_w), rtol=1e-6)
