@@ -134,22 +134,28 @@ def _visibility_tiles(render_state, edges, zattr, tile_pids, tile_xy,
     return jax.vmap(one_tile)(tile_pids, fb_ds_tiles, origins)
 
 
-def _shade_pixels(render_state, texels, edges, attribs, win, xs, ys):
+def _shade_pixels(render_state, texels, edges, attribs, win, xs, ys,
+                  grads=None):
     """Pass 2: per-pixel shading of winners (win >= 0).
 
     Recomputes the winner's edge values/gradients and runs the exact
     interpolate/texture/modulate shader (draw3d/kernel.cpp:167-228) once
-    per pixel.  Returns packed ARGB uint32.
+    per pixel.  When `grads` = (dx, dy) comes from the fused Pallas pass 1
+    (ops.pallas_raster fused=True), the per-pixel edge gather and
+    re-evaluation are skipped entirely.  Returns packed ARGB uint32.
     """
     flags = render_state.flags
     p = jnp.maximum(win, 0)
-    e = edges[p]                                # (..., 3, 3) pixelwise gather
-    ex = e[..., 0]
-    ey = e[..., 1]
-    ez = e[..., 2]
-    evals = jnp.stack([ex[..., k] * xs + ey[..., k] * ys + ez[..., k]
-                       for k in range(3)])
-    dx, dy = interp_mod.gradients(evals)
+    if grads is None:
+        e = edges[p]                            # (..., 3, 3) pixelwise gather
+        ex = e[..., 0]
+        ey = e[..., 1]
+        ez = e[..., 2]
+        evals = jnp.stack([ex[..., k] * xs + ey[..., k] * ys + ez[..., k]
+                           for k in range(3)])
+        dx, dy = interp_mod.gradients(evals)
+    else:
+        dx, dy = grads
 
     at = attribs[p]                             # (..., 7, 3)
 
@@ -201,6 +207,7 @@ def render_tiles_deferred(render_state, texels, edges, attribs, zattr,
     om = render_state.om
     max_cnt = jnp.int32(0)
 
+    grads = None
     if blend_slots == 0:
         if visibility == "xla":
             dsw, win = _visibility_tiles(render_state, edges, zattr,
@@ -208,9 +215,11 @@ def render_tiles_deferred(render_state, texels, edges, attribs, zattr,
                                          tile_logsize)
         else:  # "pallas" | "pallas_interpret" (ops.pallas_raster)
             from . import pallas_raster
-            dsw, win = pallas_raster.visibility_tiles(
+            dsw, win, dxw, dyw = pallas_raster.visibility_tiles(
                 render_state, edges, zattr, tile_pids, tile_xy, sel_d,
-                tile_logsize, interpret=(visibility == "pallas_interpret"))
+                tile_logsize, interpret=(visibility == "pallas_interpret"),
+                fused=True)
+            grads = (dxw, dyw)
     else:
         dsw, slots, cnt = _visibility_tiles(
             render_state, edges, zattr, tile_pids, tile_xy, sel_d,
@@ -226,7 +235,7 @@ def render_tiles_deferred(render_state, texels, edges, attribs, zattr,
 
     if blend_slots == 0:
         color = _shade_pixels(render_state, texels, edges, attribs, win,
-                              xs, ys)
+                              xs, ys, grads=grads)
         if om.color_write:
             sel_c = _merge_color(om, win >= 0, color, sel_c)
     else:

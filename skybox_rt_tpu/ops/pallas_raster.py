@@ -61,13 +61,20 @@ def pack_prim_records(edges, zattr, tile_pids):
 
 
 def _make_kernel(om, shade_z: bool, tile_logsize: int, scissor,
-                 num_prims: int):
+                 num_prims: int, fused: bool = False):
     ts = 1 << tile_logsize
     ns = (ts * ts) // LANES
     left, top, right, bottom = scissor
     ds_active = om.ds.depth_enabled or om.ds.stencil_enabled(False)
+    # fused shading (VERDICT #5): also carry the WINNER's interpolation
+    # gradients (dx, dy — draw3d/kernel.cpp:25-35) out of the kernel, so
+    # pass 2 skips the per-pixel edges[win] gather and the whole edge
+    # re-evaluation; bit-exact because the incremental edge eval here is
+    # identical mod 2^32 to the direct a*x+b*y+c evaluation
+    need_grad = fused or (ds_active and shade_z)
 
-    def kernel(origin_ref, prim_ref, fbds_ref, dsw_ref, win_ref):
+    def kernel(origin_ref, prim_ref, fbds_ref, dsw_ref, win_ref,
+               *grad_refs):
         # constant lane grids: local x/y per flattened pixel index
         idx = (jax.lax.broadcasted_iota(I32, (ns, LANES), 0) * LANES
                + jax.lax.broadcasted_iota(I32, (ns, LANES), 1))
@@ -84,6 +91,10 @@ def _make_kernel(om, shade_z: bool, tile_logsize: int, scissor,
 
         dsw_ref[0] = fbds_ref[0]
         win_ref[0] = jnp.full((ns, LANES), -1, I32)
+        if fused:
+            dx_ref, dy_ref = grad_refs
+            dx_ref[0] = jnp.zeros((ns, LANES), I32)
+            dy_ref[0] = jnp.zeros((ns, LANES), I32)
 
         def step(i, _):
             r = prim_ref[0, i]                       # (16,) record row
@@ -101,15 +112,17 @@ def _make_kernel(om, shade_z: bool, tile_logsize: int, scissor,
             cov = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)
                    & in_scissor & valid)
 
+            if need_grad:
+                # GRADIENTS (draw3d/kernel.cpp:25-35): f32 barycentrics
+                f0 = fixed.fixed_to_float(e0, fixed.ATTR_FRAC)
+                f1 = fixed.fixed_to_float(e1, fixed.ATTR_FRAC)
+                f2 = fixed.fixed_to_float(e2, fixed.ATTR_FRAC)
+                rcp = jnp.float32(1.0) / ((f0 + f1) + f2)
+                dx = fixed.to_fixed_x86(rcp * f0, fixed.ATTR_FRAC)
+                dy = fixed.to_fixed_x86(rcp * f1, fixed.ATTR_FRAC)
+
             if ds_active:
                 if shade_z:
-                    # GRADIENTS (draw3d/kernel.cpp:25-35): f32 barycentrics
-                    f0 = fixed.fixed_to_float(e0, fixed.ATTR_FRAC)
-                    f1 = fixed.fixed_to_float(e1, fixed.ATTR_FRAC)
-                    f2 = fixed.fixed_to_float(e2, fixed.ATTR_FRAC)
-                    rcp = jnp.float32(1.0) / ((f0 + f1) + f2)
-                    dx = fixed.to_fixed_x86(rcp * f0, fixed.ATTR_FRAC)
-                    dy = fixed.to_fixed_x86(rcp * f1, fixed.ATTR_FRAC)
                     tmp = fixed.imadd24(r[9], dx, r[11])
                     z = fixed.imadd24(r[10], dy, tmp)
                 else:
@@ -121,6 +134,9 @@ def _make_kernel(om, shade_z: bool, tile_logsize: int, scissor,
             else:
                 upd = cov
             win_ref[0] = jnp.where(upd, i, win_ref[0])
+            if fused:
+                dx_ref[0] = jnp.where(upd, dx, dx_ref[0])
+                dy_ref[0] = jnp.where(upd, dy, dy_ref[0])
             return 0
 
         jax.lax.fori_loop(0, num_prims, step, 0)
@@ -131,43 +147,43 @@ def _make_kernel(om, shade_z: bool, tile_logsize: int, scissor,
 @functools.partial(
     jax.jit,
     static_argnames=("om", "shade_z", "tile_logsize", "scissor",
-                     "interpret"))
+                     "interpret", "fused"))
 def _visibility_call(prim_records, fb_ds_tiles, origins, *, om, shade_z,
-                     tile_logsize, scissor, interpret):
+                     tile_logsize, scissor, interpret, fused=False):
     T, M, _ = prim_records.shape
     ts = 1 << tile_logsize
     ns = (ts * ts) // LANES
     fb_flat = fb_ds_tiles.reshape(T, ns, LANES)
 
-    kernel = _make_kernel(om, shade_z, tile_logsize, scissor, M)
+    kernel = _make_kernel(om, shade_z, tile_logsize, scissor, M,
+                          fused=fused)
 
+    n_out = 4 if fused else 2
+    tile_spec = pl.BlockSpec((1, ns, LANES), lambda t, _: (t, 0, 0),
+                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,           # origins (T, 2) live in SMEM
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, M, 16), lambda t, _: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ns, LANES), lambda t, _: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
+            tile_spec,
         ],
-        out_specs=(
-            pl.BlockSpec((1, ns, LANES), lambda t, _: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ns, LANES), lambda t, _: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=(tile_spec,) * n_out,
     )
-    dsw, win = pl.pallas_call(
+    out_shape = (jax.ShapeDtypeStruct((T, ns, LANES), jnp.uint32),
+                 jax.ShapeDtypeStruct((T, ns, LANES), jnp.int32))
+    if fused:
+        out_shape += (jax.ShapeDtypeStruct((T, ns, LANES), jnp.int32),
+                      jax.ShapeDtypeStruct((T, ns, LANES), jnp.int32))
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((T, ns, LANES), jnp.uint32),
-            jax.ShapeDtypeStruct((T, ns, LANES), jnp.int32),
-        ),
+        out_shape=out_shape,
         interpret=interpret,
     )(origins.astype(I32), prim_records, fb_flat)
 
-    return (dsw.reshape(T, ts, ts), win.reshape(T, ts, ts))
+    return tuple(o.reshape(T, ts, ts) for o in out)
 
 
 def supported(render_state, tile_logsize: int) -> bool:
@@ -177,25 +193,34 @@ def supported(render_state, tile_logsize: int) -> bool:
 
 
 def visibility_tiles(render_state, edges, zattr, tile_pids, tile_xy,
-                     fb_ds_tiles, tile_logsize, interpret=False):
+                     fb_ds_tiles, tile_logsize, interpret=False,
+                     fused=False):
     """Drop-in replacement for ops.deferred._visibility_tiles, returning
-    (dsw (T,ts,ts) u32, winner pid (T,ts,ts) i32 with -1 = none)."""
+    (dsw (T,ts,ts) u32, winner pid (T,ts,ts) i32 with -1 = none).
+
+    fused=True additionally returns the winner's interpolation gradients
+    (dx, dy) (T,ts,ts) i32 fixed24, letting pass 2 skip the per-pixel
+    edge gather + re-evaluation (ops.deferred._shade_pixels grads=)."""
     recs = pack_prim_records(jnp.asarray(edges), jnp.asarray(zattr),
                              jnp.asarray(tile_pids))
     ts = 1 << tile_logsize
     origins = jnp.asarray(tile_xy, I32) * ts
-    dsw, win_slot = _visibility_call(
+    out = _visibility_call(
         recs, fb_ds_tiles, origins,
         om=render_state.om,
         shade_z=render_state.flags.depth_enabled,
         tile_logsize=tile_logsize,
         scissor=tuple(render_state.scissor),
         interpret=interpret,
+        fused=fused,
     )
+    dsw, win_slot = out[0], out[1]
     # slot -> pid (slots are per-tile indices into tile_pids)
     slot = jnp.maximum(win_slot, 0)
     pid = jnp.take_along_axis(
         jnp.asarray(tile_pids), slot.reshape(slot.shape[0], -1), axis=1
     ).reshape(win_slot.shape)
     win = jnp.where(win_slot >= 0, pid, -1)
+    if fused:
+        return dsw, win, out[2], out[3]
     return dsw, win

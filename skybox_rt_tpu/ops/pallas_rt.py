@@ -619,20 +619,21 @@ def closest_hit_streamed(orig, direction, v0, e1, e2, order=None,
 
 
 def _make_worklist_kernel(t_min: float, tri_block: int, sub: int):
-    def kernel(bi_ref, bc_ref, ba_ref,            # SMEM: worklist + AABBs
+    def kernel(bi_ref, bc_ref, ba_ref,            # scalar prefetch (SMEM)
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                tmax_ref,                          # VMEM ray tiles
-               tri_hbm,                           # (Pp, 16) resident in HBM
+               tri_hbm,                           # (Pp, 128) resident in HBM
                bt_ref, bp_ref, bu_ref, bv_ref,    # outs (1, sub*8, 128)
-               tri_vmem, sem):                    # scratch: (2, TB, 16) + DMA
-        cnt = bc_ref[0, 0]
+               tri_vmem, sem):                    # scratch: (2, TB, 128) + DMA
+        g = pl.program_id(0)
+        cnt = bc_ref[g]
         bt_ref[0] = tmax_ref[0]
         bp_ref[0] = jnp.full(bt_ref.shape[1:], -1, I32)
         bu_ref[0] = jnp.zeros(bt_ref.shape[1:], F32)
         bv_ref[0] = jnp.zeros(bt_ref.shape[1:], F32)
 
         def get_dma(slot, i):
-            nb = bi_ref[0, i]
+            nb = bi_ref[g, i]
             return pltpu.make_async_copy(
                 tri_hbm.at[pl.ds(nb * tri_block, tri_block), :],
                 tri_vmem.at[slot],
@@ -651,7 +652,7 @@ def _make_worklist_kernel(t_min: float, tri_block: int, sub: int):
                 get_dma(1 - slot, i + 1).start()
 
             get_dma(slot, i).wait()
-            nb = bi_ref[0, i]
+            nb = bi_ref[g, i]
             base = nb * tri_block
             trs = tri_vmem.at[slot]
 
@@ -703,36 +704,33 @@ def _worklist_call(rays, tri, tmax_arr, blk_aabb, t_min, tri_block, sub,
     NB = blk_aabb.shape[0]
     blkidx, blkcnt = _active_block_lists(rays, blk_aabb, tmax_arr)
     kernel = _make_worklist_kernel(t_min, tri_block, sub)
-    ray_spec = pl.BlockSpec((1, sub * 8, LANES), lambda g: (g, 0, 0),
+    ray_spec = pl.BlockSpec((1, sub * 8, LANES), lambda g, *_: (g, 0, 0),
                             memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,           # blkidx, blkcnt, aabbs (SMEM)
         grid=(G,),
-        in_specs=[
-            pl.BlockSpec((1, NB), lambda g: (g, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda g: (g, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((NB, 8), lambda g: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ] + [ray_spec] * 7 + [
+        in_specs=[ray_spec] * 7 + [
             pl.BlockSpec(memory_space=pl.ANY),      # triangles stay in HBM
         ],
         out_specs=(ray_spec,) * 4,
+        scratch_shapes=[
+            pltpu.VMEM((2, tri_block, LANES), F32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((G, sub * 8, LANES), F32),
             jax.ShapeDtypeStruct((G, sub * 8, LANES), I32),
             jax.ShapeDtypeStruct((G, sub * 8, LANES), F32),
             jax.ShapeDtypeStruct((G, sub * 8, LANES), F32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, tri_block, 16), F32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(blkidx, blkcnt.reshape(G, 1), blk_aabb, *rays, tmax_arr, tri)
+    )(blkidx, blkcnt, blk_aabb, *rays, tmax_arr, tri)
 
 
 def closest_hit_worklist(orig, direction, v0, e1, e2, order=None,
@@ -752,10 +750,11 @@ def closest_hit_worklist(orig, direction, v0, e1, e2, order=None,
     rays, R, Rp, G = _pack_rays(orig, direction, sub=sub)
     order = None if order is None else jnp.asarray(order)
     tri = _pack_tris(v0, e1, e2, order=order)
-    # the (G, NB) worklist table lives in HBM (blocked (1, NB) into SMEM),
-    # so NB is bounded only by the XLA pre-pass; cap it loosely to keep
-    # the pre-pass temporaries sane on enormous scenes
-    NB_MAX = 4096
+    # the (G, NB) worklist table is a scalar-prefetch arg (SMEM-resident,
+    # ~1 MB budget: G=256 x NB=512 x i32 = 512 KB) — 8x the streamed
+    # kernel's cap because there is no dense grid multiplying it; huge
+    # scenes take coarser blocks beyond NB_MAX
+    NB_MAX = 512
     needed = -(-tri.shape[0] // NB_MAX)
     tri_block = max(tri_block, -(-needed // 512) * 512)
     Pp0 = tri.shape[0]
@@ -770,6 +769,10 @@ def closest_hit_worklist(orig, direction, v0, e1, e2, order=None,
         tri = tri.at[P:, 0:3].set(fix)
     tmax_arr = _pack_tmax(t_max, G, sub=sub)
     blk_aabb = _block_aabbs(tri, tri_block)
+    # manual HBM->VMEM DMA slices need the minor dim 128-aligned (Mosaic
+    # tiling); the 8x record padding is free in practice — the DMA is
+    # double-buffered behind ~10x more compute per block
+    tri = jnp.pad(tri, ((0, 0), (0, LANES - tri.shape[1])))
 
     bt, bp, bu, bv = _worklist_call(rays, tri, tmax_arr, blk_aabb,
                                     t_min, tri_block, sub, interpret)

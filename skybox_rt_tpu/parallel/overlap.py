@@ -1,0 +1,102 @@
+"""Bucketed gradient all-reduce with engineered compute/communication
+overlap (SURVEY §2.8: "explicit overlap of gradient psum with backward
+compute"; VERDICT r1 #9).
+
+Design (the DDP-bucketing recipe, TPU-native):
+  * gradients are flattened and greedily packed into `n_buckets` roughly
+    size-balanced buckets; each bucket is ONE concatenated psum instead of
+    one psum per parameter — fewer, larger ICI collectives (latency is
+    per-collective; bandwidth is what we want to pay for)
+  * each bucket's psum depends only on ITS leaves, so XLA's latency-hiding
+    scheduler can issue bucket k's all-reduce-start while the backward
+    compute feeding bucket k+1 is still running — the async-pair
+    (all-reduce-start / all-reduce-done) separation in the scheduled HLO
+    is the checkable artifact (see `collective_schedule_report`)
+  * numerics are exactly a per-leaf psum (concat/split commutes with the
+    elementwise sum)
+
+Verification story on this hardware: a single real chip elides psums and
+the CPU mesh runs collectives synchronously, so overlap cannot be
+*timed* here.  What CAN be checked (tests/test_overlap.py) is (a) exact
+numerical equality with unbucketed psums on the 8-device CPU mesh and
+(b) the compiled module containing exactly n_buckets all-reduces.  On a
+real multi-chip slice, `collective_schedule_report` on the scheduled HLO
+shows whether starts are hoisted away from dones.
+"""
+from __future__ import annotations
+
+import re
+
+import jax
+import jax.numpy as jnp
+
+
+def bucketed_psum(tree, axis_name: str, n_buckets: int = 3):
+    """psum a gradient pytree as `n_buckets` concatenated collectives.
+
+    Leaves are packed greedily (largest first) into the currently
+    smallest bucket, so buckets are size-balanced; each bucket is
+    flattened, concatenated, psum-ed once, then split back.
+    """
+    leaves, treedef = jax.tree.flatten(tree)
+    if not leaves:
+        return tree
+    n_buckets = max(1, min(n_buckets, len(leaves)))
+
+    order = sorted(range(len(leaves)), key=lambda i: -leaves[i].size)
+    buckets = [[] for _ in range(n_buckets)]
+    fill = [0] * n_buckets
+    for i in order:
+        b = fill.index(min(fill))
+        buckets[b].append(i)
+        fill[b] += leaves[i].size
+
+    out = [None] * len(leaves)
+    for idx in buckets:
+        if not idx:
+            continue
+        flat = jnp.concatenate(
+            [leaves[i].astype(jnp.float32).ravel() for i in idx])
+        flat = jax.lax.psum(flat, axis_name)
+        off = 0
+        for i in idx:
+            n = leaves[i].size
+            out[i] = flat[off:off + n].reshape(leaves[i].shape).astype(
+                leaves[i].dtype)
+            off += n
+    return jax.tree.unflatten(treedef, out)
+
+
+def count_all_reduces(text: str) -> int:
+    """Number of all-reduce collectives in an HLO or StableHLO dump
+    (async start/done pairs and tupled combiner outputs count once)."""
+    starts = len(re.findall(r"all-reduce-start", text))
+    if starts:
+        return starts
+    hlo = len(re.findall(r"=\s*(?:\([^)]*\)|\S+)\s+all-reduce\(", text))
+    if hlo:
+        return hlo
+    return len(re.findall(r"stablehlo\.all_reduce", text))
+
+
+def collective_schedule_report(compiled_text: str) -> list:
+    """For each async all-reduce pair in a scheduled HLO dump, report how
+    many instructions the scheduler placed between start and done — the
+    direct artifact of compute/communication overlap (0 = no overlap).
+
+    Returns [(name, gap_instructions), ...].
+    """
+    lines = compiled_text.splitlines()
+    starts = {}
+    report = []
+    for pos, ln in enumerate(lines):
+        m = re.search(r"(%?\S+)\s*=\s*\S*\s*all-reduce-start", ln)
+        if m:
+            starts[m.group(1).rstrip(" =")] = pos
+            continue
+        m = re.search(r"all-reduce-done\(\s*(%?[\w.\-]+)", ln)
+        if m:
+            key = m.group(1)
+            if key in starts:
+                report.append((key, pos - starts[key] - 1))
+    return report

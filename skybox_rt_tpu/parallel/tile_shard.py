@@ -91,7 +91,8 @@ def make_sharded_render(mesh, cfg: pipeline.DiffRenderConfig):
 
 def make_train_step(mesh, cfg: pipeline.DiffRenderConfig, lr: float = 0.1,
                     trainable: tuple = ("color", "pos", "uv", "tex"),
-                    deferred: bool = True, slots: int = 8):
+                    deferred: bool = True, slots: int = 8,
+                    grad_buckets: int = 3):
     """Inverse-rendering SGD step, tile-sharded with gradient all-reduce.
 
     target_tiles are pre-gathered per tile on the host (the per-chip loss
@@ -100,8 +101,14 @@ def make_train_step(mesh, cfg: pipeline.DiffRenderConfig, lr: float = 0.1,
     O(pixels*K) differentiable shading) — the backward never traverses the
     per-prim scan; exact vs the scan renderer in hard mode, and for
     blend/soft modes whenever per-pixel writes fit the slot count.
+    grad_buckets > 0 packs the parameter psums into that many size-balanced
+    concatenated collectives (parallel.overlap.bucketed_psum) so XLA's
+    scheduler can overlap each bucket's all-reduce with the backward
+    compute feeding the next; 0 = one psum per parameter.
     Returns step(params, static_arrays, target_tiles) -> (params, loss).
     """
+    from . import overlap as overlap_mod
+
     ts = 1 << cfg.tile_logsize
     axis = mesh.axis_names[0]
 
@@ -123,10 +130,14 @@ def make_train_step(mesh, cfg: pipeline.DiffRenderConfig, lr: float = 0.1,
             return jnp.sum(err * tile_valid[:, None, None, None])
 
         loss, grads = jax.value_and_grad(local_loss)(params)
-        # gradient all-reduce across the mesh; XLA schedules these psums
-        # concurrently with remaining backward work
+        # gradient all-reduce across the mesh — bucketed so each bucket's
+        # collective depends only on its own leaves and can overlap the
+        # rest of the backward (parallel.overlap docstring)
         loss = jax.lax.psum(loss, axis)
-        grads = jax.tree.map(lambda g: jax.lax.psum(g, axis), grads)
+        if grad_buckets > 0:
+            grads = overlap_mod.bucketed_psum(grads, axis, grad_buckets)
+        else:
+            grads = jax.tree.map(lambda g: jax.lax.psum(g, axis), grads)
         return loss, grads
 
     @jax.jit

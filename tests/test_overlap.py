@@ -1,0 +1,131 @@
+"""Bucketed gradient-psum overlap machinery (parallel.overlap) on the
+virtual 8-device CPU mesh.
+
+What is checkable here: numerical equality of bucketed vs per-leaf psums,
+and the compiled module containing exactly the expected collective count
+(the bucketing actually happened).  Actual start/done overlap timing needs
+a real multi-chip slice — collective_schedule_report is the tool for that
+(PERF.md records the finding)."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from skybox_rt_tpu.diff import binning as dbin
+from skybox_rt_tpu.diff import pipeline
+from skybox_rt_tpu.models import scenes
+from skybox_rt_tpu.parallel import mesh as mesh_mod
+from skybox_rt_tpu.parallel import overlap, tile_shard
+
+
+def _tree(seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "a": jnp.asarray(rng.normal(size=(33, 4)).astype(np.float32)),
+        "b": jnp.asarray(rng.normal(size=(7,)).astype(np.float32)),
+        "c": jnp.asarray(rng.normal(size=(16, 16, 4)).astype(np.float32)),
+        "d": jnp.asarray(rng.normal(size=(1,)).astype(np.float32)),
+    }
+
+
+@pytest.mark.parametrize("n_buckets", [1, 2, 3, 10])
+def test_bucketed_psum_matches_per_leaf(n_buckets):
+    n = min(8, len(jax.devices()))
+    mesh = mesh_mod.make_mesh(n)
+    tree = _tree()
+    stacked = jax.tree.map(
+        lambda x: jnp.stack([x * (i + 1) for i in range(n)]), tree)
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(P("tiles"),),
+                       out_specs=P(), check_vma=False)
+    def bucketed(t):
+        local = jax.tree.map(lambda x: x[0], t)
+        return overlap.bucketed_psum(local, "tiles", n_buckets)
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(P("tiles"),),
+                       out_specs=P(), check_vma=False)
+    def per_leaf(t):
+        local = jax.tree.map(lambda x: x[0], t)
+        return jax.tree.map(lambda g: jax.lax.psum(g, "tiles"), local)
+
+    got = bucketed(stacked)
+    ref = per_leaf(stacked)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), rtol=1e-6),
+        got, ref)
+
+
+def test_bucket_count_in_lowered_hlo():
+    """The lowered module (pre-combiner) contains exactly n_buckets
+    gradient all-reduces (+1 for the loss scalar); the compiled module
+    contains at least one (XLA's combiner may merge further — on this
+    CPU backend it tuples them into a single op, which is itself the
+    overlap-friendly form)."""
+    n = min(8, len(jax.devices()))
+    if n < 2:
+        pytest.skip("collectives elided on 1 device")
+    params, indices = scenes.triangle()
+    params = {k: jnp.asarray(v) for k, v in params.items()}
+    cfg = pipeline.DiffRenderConfig(width=32, height=32, tile_logsize=4)
+    static = dbin.bin_static(np.asarray(params["pos"]), indices, 32, 32,
+                             tile_logsize=4)
+    mesh = mesh_mod.make_mesh(n)
+    sharded = tile_shard.shard_tiles(static, n)
+    arrays = {k: jnp.asarray(v) for k, v in sharded.items()}
+    tt = jnp.zeros((sharded["tile_xy"].shape[0], 16, 16, 4), jnp.float32)
+
+    n_leaves = len(jax.tree.leaves(params))
+    assert n_leaves >= 3
+    for n_buckets, expect in [(2, 2 + 1), (0, n_leaves + 1)]:
+        step = tile_shard.make_train_step(mesh, cfg,
+                                          grad_buckets=n_buckets)
+        lowered = jax.jit(step).lower(params, arrays, tt)
+        assert overlap.count_all_reduces(lowered.as_text()) == expect, (
+            n_buckets, overlap.count_all_reduces(lowered.as_text()))
+        assert overlap.count_all_reduces(lowered.compile().as_text()) >= 1
+
+
+def test_train_step_bucketed_matches_unbucketed():
+    n = min(8, len(jax.devices()))
+    params, indices = scenes.triangle()
+    params = {k: jnp.asarray(v) for k, v in params.items()}
+    cfg = pipeline.DiffRenderConfig(width=32, height=32, tile_logsize=4)
+    static = dbin.bin_static(np.asarray(params["pos"]), indices, 32, 32,
+                             tile_logsize=4)
+    mesh = mesh_mod.make_mesh(n)
+    sharded = tile_shard.shard_tiles(static, n)
+    arrays = {k: jnp.asarray(v) for k, v in sharded.items()}
+    target_img = np.asarray(pipeline.render(
+        params, {k: jnp.asarray(v) for k, v in static.items()}, cfg))
+    tt = jnp.asarray(tile_shard.gather_target_tiles(
+        target_img, sharded["tile_xy"], cfg.tile_logsize))
+
+    bad = dict(params)
+    bad["color"] = jnp.full_like(params["color"], 0.25)
+    p_b, loss_b = tile_shard.make_train_step(mesh, cfg, grad_buckets=3)(
+        bad, arrays, tt)
+    p_u, loss_u = tile_shard.make_train_step(mesh, cfg, grad_buckets=0)(
+        bad, arrays, tt)
+    np.testing.assert_allclose(float(loss_b), float(loss_u), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), rtol=1e-5,
+                                                atol=1e-7),
+        p_b, p_u)
+
+
+def test_schedule_report_parser():
+    hlo = "\n".join([
+        "%ar0 = f32[8]{0} all-reduce-start(%g0), replica_groups={}",
+        "%mul = f32[8]{0} multiply(%x, %y)",
+        "%add = f32[8]{0} add(%mul, %y)",
+        "%d0 = f32[8]{0} all-reduce-done(%ar0)",
+    ])
+    rep = overlap.collective_schedule_report(hlo)
+    assert rep == [("%ar0", 2)]
+    assert overlap.count_all_reduces(hlo) == 1
