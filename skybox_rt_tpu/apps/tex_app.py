@@ -83,3 +83,55 @@ def run(rgba: np.ndarray, fmt: int = C.TEX_FORMAT_A8R8G8B8,
         ch = sampler_mod.lerp8888(h0, h1, np.uint32(frac))
         color = sampler_mod.pack8888(cl, ch)
     return np.asarray(color, np.uint32)
+
+
+def run_multitex(rgba0: np.ndarray, rgba1: np.ndarray,
+                 fmt: int = C.TEX_FORMAT_A8R8G8B8,
+                 wrap: int = C.TEX_WRAP_CLAMP) -> np.ndarray:
+    """Two-stage sampling through texture.units (the vx_tex(stage, ...)
+    surface, VX_TEX_STAGE_COUNT=2): stage 0 modulated by stage 1
+    (lightmap-style), channelwise Div255 multiply (cocogfx Mul8888 as
+    used by the blender's color-factor path, graphics.cpp:600-620).
+    Sources may have different power-of-two sizes; each stage samples at
+    its own bilinear-centered u/v.  Returns (H0, W0) uint32 ARGB."""
+    import jax.numpy as jnp
+
+    from ..om.blend import div255
+    from ..texture import units as units_mod
+
+    states = []
+    texel_arrays = []
+    for rgba in (rgba0, rgba1):
+        h, w = rgba.shape[:2]
+        assert (w & (w - 1)) == 0 and (h & (h - 1)) == 0
+        texels2d = convert.rgba_to_texels(rgba, fmt)
+        level0 = convert.texels_to_bytes(texels2d, fmt)
+        chain, mip_offsets = mipmap.generate_mipmaps(level0, fmt, w, h)
+        states.append(sampler_mod.TextureState(
+            format=fmt, log_width=_log2floor(w), log_height=_log2floor(h),
+            filter=C.TEX_FILTER_BILINEAR, wrap_u=wrap, wrap_v=wrap,
+            mip_offsets=tuple(mip_offsets)))
+        texel_arrays.append(jnp.asarray(sampler_mod.make_texel_array(fmt,
+                                                                     chain)))
+    units = units_mod.bind(*states)
+
+    dst_h, dst_w = rgba0.shape[:2]
+    fu = (np.arange(dst_w, dtype=F32) + F32(0.5)) / F32(dst_w)
+    fv = (np.arange(dst_h, dtype=F32) + F32(0.5)) / F32(dst_h)
+    xu = np.trunc(fu * F32(1 << C.TEX_FXD_FRAC)).astype(np.int64).astype(
+        np.int32)
+    xv = np.trunc(fv * F32(1 << C.TEX_FXD_FRAC)).astype(np.int64).astype(
+        np.int32)
+    uu = jnp.asarray(np.broadcast_to(xu[None, :], (dst_h, dst_w)))
+    vv = jnp.asarray(np.broadcast_to(xv[:, None], (dst_h, dst_w)))
+
+    c0 = units_mod.sample(units, texel_arrays, 0, uu, vv, lod=0)
+    c1 = units_mod.sample(units, texel_arrays, 1, uu, vv, lod=0)
+
+    def chan(shift):
+        a = jnp.bitwise_and(jnp.right_shift(c0, shift), 0xFF)
+        b = jnp.bitwise_and(jnp.right_shift(c1, shift), 0xFF)
+        return jnp.left_shift(div255(a * b + 0x80), shift)
+
+    out = chan(24) | chan(16) | chan(8) | chan(0)
+    return np.asarray(out, np.uint32)

@@ -44,8 +44,15 @@ def build_workload(size: int = 256, tile_logsize: int = 5, subdiv: int = 3):
 
 
 def measure(mesh_sizes=None, size: int = 256, iters: int = 10,
-            warmup: int = 2) -> dict:
-    """Returns {n_devices: {"ms": .., "speedup": .., "efficiency": ..}}."""
+            warmup: int = 2, compiled_loop: bool = True) -> dict:
+    """Returns {n_devices: {"ms": .., "speedup": .., "efficiency": ..}}.
+
+    compiled_loop=True (default) times `iters` steps as ONE jitted
+    lax.fori_loop dispatch, so the reported ms/step is device time —
+    per-step host dispatch latency (large and noisy over a remote
+    tunnel; PERF.md) is excluded.  False reproduces the eager per-step
+    protocol for comparison.
+    """
     avail = len(jax.devices())
     if mesh_sizes is None:
         mesh_sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= avail]
@@ -62,16 +69,32 @@ def measure(mesh_sizes=None, size: int = 256, iters: int = 10,
              1 << cfg.tile_logsize, 4), jnp.float32)
         step = tile_shard.make_train_step(mesh, cfg, lr=1e-3)
 
-        p = params
-        for _ in range(max(warmup, 1)):      # >=1: the compile must land
-            p, loss = step(p, arrays, target)
-        jax.block_until_ready(loss)
-        t0 = time.perf_counter()
-        p = params
-        for _ in range(iters):
-            p, loss = step(p, arrays, target)
-        jax.block_until_ready(loss)
-        ms = (time.perf_counter() - t0) / iters * 1e3
+        if compiled_loop:
+            @jax.jit
+            def run_n(p, arrays=arrays, target=target, step=step):
+                def body(i, carry):
+                    p, _ = carry
+                    return step(p, arrays, target)
+                return jax.lax.fori_loop(0, iters, body,
+                                         (p, jnp.float32(0.0)))
+
+            _, loss = run_n(params)          # compile + warmup
+            jax.block_until_ready(loss)
+            t0 = time.perf_counter()
+            _, loss = run_n(params)
+            jax.block_until_ready(loss)
+            ms = (time.perf_counter() - t0) / iters * 1e3
+        else:
+            p = params
+            for _ in range(max(warmup, 1)):  # >=1: the compile must land
+                p, loss = step(p, arrays, target)
+            jax.block_until_ready(loss)
+            t0 = time.perf_counter()
+            p = params
+            for _ in range(iters):
+                p, loss = step(p, arrays, target)
+            jax.block_until_ready(loss)
+            ms = (time.perf_counter() - t0) / iters * 1e3
 
         if base_ms is None:
             base_ms = ms

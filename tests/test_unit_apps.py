@@ -135,3 +135,26 @@ def test_multi_stage_texture_units():
         units.bind(st0, st1, st0)      # > STAGE_COUNT
     with pytest.raises(ValueError):
         units.bind(st0, None).state(1)
+
+
+def test_multitex_app_modulates_stages():
+    """Two-stage tex app (tex_app.run_multitex): stage0 x stage1 with
+    Div255 rounding, oracled by composing two single-stage runs on the
+    host — wires texture.units through a whole app path."""
+    rgba0 = _load_rgba(f"{TEX}/toad.png")
+    rng = np.random.default_rng(5)
+    rgba1 = rng.integers(0, 256, size=rgba0.shape).astype(np.uint8)
+
+    got = tex_app.run_multitex(rgba0, rgba1)
+
+    s0 = tex_app.run(rgba0, filter_g=1, scale=1.0).astype(np.uint64)
+    s1 = tex_app.run(rgba1, filter_g=1, scale=1.0).astype(np.uint64)
+
+    def chans(x):
+        return np.stack([(x >> s) & 0xFF for s in (24, 16, 8, 0)], -1)
+
+    prod = chans(s0) * chans(s1) + 0x80
+    ref_ch = (prod + (prod >> 8)) >> 8          # cocogfx Div255
+    ref = (ref_ch[..., 0] << 24) | (ref_ch[..., 1] << 16) \
+        | (ref_ch[..., 2] << 8) | ref_ch[..., 3]
+    np.testing.assert_array_equal(got, ref.astype(np.uint32))
