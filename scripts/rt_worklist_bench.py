@@ -67,6 +67,21 @@ def main():
         bvh = bvh_mod.build(verts, faces)
         order = bvh_mod.build_clusters(bvh, max_tris=64)["order"]
 
+        # diagnostics: worklist occupancy + pre-pass cost in isolation
+        rays, _, _, G = pallas_rt._pack_rays(o_t, d_t, sub=4)
+        trec = pallas_rt._pack_tris(*tri, order=order)
+        trec = jnp.pad(trec, ((0, (-trec.shape[0]) % 512), (0, 0)))
+        aabb = pallas_rt._block_aabbs(trec, 512)
+        tm = pallas_rt._pack_tmax(None, G, sub=4)
+        pre = jax.jit(pallas_rt._active_block_lists)
+        _, cnt = pre(rays, aabb, tm)
+        jax.block_until_ready(cnt)
+        tp = timeit(lambda: pre(rays, aabb, tm))
+        cnt = np.asarray(cnt)
+        print(f"  prepass {name}: {tp*1e3:.2f} ms; NB={aabb.shape[0]} "
+              f"active/rayblock mean={cnt.mean():.1f} max={cnt.max()}",
+              flush=True)
+
         t0 = time.perf_counter()
         t = timeit(lambda: pallas_rt.closest_hit_worklist(
             o_t, d_t, *tri, order=order))

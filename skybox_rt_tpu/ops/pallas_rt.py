@@ -618,16 +618,8 @@ def closest_hit_streamed(orig, direction, v0, e1, e2, order=None,
 # ---------------------------------------------------------------------------
 
 
-WL_CHUNK = 64        # tris per in-block gate (matches the clustered
-                     # kernel's treelet granularity)
-
-
 def _make_worklist_kernel(t_min: float, tri_block: int, sub: int):
-    n_chunks = tri_block // WL_CHUNK
-
-    def kernel(bi_ref, bc_ref, ca_ref,            # scalar prefetch (SMEM):
-               # bi (G, NB) worklists, bc (G,) counts,
-               # ca (NB * n_chunks, 8) per-64-tri-chunk AABBs
+    def kernel(bi_ref, bc_ref, ba_ref,            # scalar prefetch (SMEM)
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                tmax_ref,                          # VMEM ray tiles
                tri_hbm,                           # (Pp, 128) resident in HBM
@@ -672,36 +664,28 @@ def _make_worklist_kernel(t_min: float, tri_block: int, sub: int):
                 dx = dx_ref[0, r]
                 dy = dy_ref[0, r]
                 dz = dz_ref[0, r]
-                idx = _inv_dir(dx)
-                idy = _inv_dir(dy)
-                idz = _inv_dir(dz)
 
-                # per-64-tri-chunk slab gates vs the running best_t (the
-                # pre-pass only gated whole 512-tri blocks at static
-                # t_max): treelet-granularity skips are what make the
-                # clustered kernel fast, replicated here on the stream
-                def chunk_body(c, _):
-                    tn, tf = _slab(ca_ref, nb * n_chunks + c, ox, oy, oz,
-                                   idx, idy, idz, bt_ref[0, r])
+                # slab re-test vs the running best_t: the pre-pass used
+                # the static t_max, so this prunes blocks behind hits
+                # already found earlier in the worklist
+                tn, tf = _slab(ba_ref, nb, ox, oy, oz,
+                               _inv_dir(dx), _inv_dir(dy), _inv_dir(dz),
+                               bt_ref[0, r])
 
-                    @pl.when(jnp.any(tn <= tf))
-                    def _():
-                        def step(j, _):
-                            jj = c * WL_CHUNK + j
-                            best_t = bt_ref[0, r]
-                            hit, t, u, v = _mt_one(ox, oy, oz, dx, dy, dz,
-                                                   trs[jj], t_min, best_t)
-                            bt_ref[0, r] = jnp.where(hit, t, best_t)
-                            bp_ref[0, r] = jnp.where(hit, base + jj,
-                                                     bp_ref[0, r])
-                            bu_ref[0, r] = jnp.where(hit, u, bu_ref[0, r])
-                            bv_ref[0, r] = jnp.where(hit, v, bv_ref[0, r])
-                            return 0
+                @pl.when(jnp.any(tn <= tf))
+                def _():
+                    def step(j, _):
+                        best_t = bt_ref[0, r]
+                        hit, t, u, v = _mt_one(ox, oy, oz, dx, dy, dz,
+                                               trs[j], t_min, best_t)
+                        bt_ref[0, r] = jnp.where(hit, t, best_t)
+                        bp_ref[0, r] = jnp.where(hit, base + j,
+                                                 bp_ref[0, r])
+                        bu_ref[0, r] = jnp.where(hit, u, bu_ref[0, r])
+                        bv_ref[0, r] = jnp.where(hit, v, bv_ref[0, r])
+                        return 0
 
-                        jax.lax.fori_loop(0, WL_CHUNK, step, 0)
-                    return 0
-
-                jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+                    jax.lax.fori_loop(0, tri_block, step, 0)
                 return 0
 
             jax.lax.fori_loop(0, sub, sub_body, 0)
@@ -714,8 +698,8 @@ def _make_worklist_kernel(t_min: float, tri_block: int, sub: int):
 
 @functools.partial(jax.jit, static_argnames=("t_min", "tri_block", "sub",
                                              "interpret"))
-def _worklist_call(rays, tri, tmax_arr, blk_aabb, chunk_aabb, t_min,
-                   tri_block, sub, interpret):
+def _worklist_call(rays, tri, tmax_arr, blk_aabb, t_min, tri_block, sub,
+                   interpret):
     G = rays[0].shape[0]
     NB = blk_aabb.shape[0]
     blkidx, blkcnt = _active_block_lists(rays, blk_aabb, tmax_arr)
@@ -723,7 +707,7 @@ def _worklist_call(rays, tri, tmax_arr, blk_aabb, chunk_aabb, t_min,
     ray_spec = pl.BlockSpec((1, sub * 8, LANES), lambda g, *_: (g, 0, 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,           # blkidx, blkcnt, chunk aabbs
+        num_scalar_prefetch=3,           # blkidx, blkcnt, aabbs (SMEM)
         grid=(G,),
         in_specs=[ray_spec] * 7 + [
             pl.BlockSpec(memory_space=pl.ANY),      # triangles stay in HBM
@@ -746,7 +730,7 @@ def _worklist_call(rays, tri, tmax_arr, blk_aabb, chunk_aabb, t_min,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(blkidx, blkcnt, chunk_aabb, *rays, tmax_arr, tri)
+    )(blkidx, blkcnt, blk_aabb, *rays, tmax_arr, tri)
 
 
 def closest_hit_worklist(orig, direction, v0, e1, e2, order=None,
@@ -784,16 +768,14 @@ def closest_hit_worklist(orig, direction, v0, e1, e2, order=None,
         fix = jnp.broadcast_to(tri[0, 0:3], (nzpad, 3))
         tri = tri.at[P:, 0:3].set(fix)
     tmax_arr = _pack_tmax(t_max, G, sub=sub)
-    blk_aabb = _block_aabbs(tri, tri_block)      # pre-pass granularity
-    chunk_aabb = _block_aabbs(tri, WL_CHUNK)     # in-kernel gate granularity
+    blk_aabb = _block_aabbs(tri, tri_block)
     # manual HBM->VMEM DMA slices need the minor dim 128-aligned (Mosaic
     # tiling); the 8x record padding is free in practice — the DMA is
     # double-buffered behind ~10x more compute per block
     tri = jnp.pad(tri, ((0, 0), (0, LANES - tri.shape[1])))
 
     bt, bp, bu, bv = _worklist_call(rays, tri, tmax_arr, blk_aabb,
-                                    chunk_aabb, t_min, tri_block, sub,
-                                    interpret)
+                                    t_min, tri_block, sub, interpret)
 
     slot = bp.reshape(Rp)[:R]
     miss = (slot < 0) | (slot >= P)

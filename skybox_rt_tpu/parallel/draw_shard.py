@@ -66,7 +66,7 @@ def _sharded_draw_fn(mesh, render_state, tile_logsize, blend_slots,
                      visibility):
     """Build (and cache) the jitted shard-mapped drawcall renderer for one
     (mesh, state) combination."""
-    axis = mesh.axis_names[0]
+    axis = tuple(mesh.axis_names)   # 1D or hosts x chips (mesh.make_mesh_2d)
     ts = 1 << tile_logsize
 
     @functools.partial(

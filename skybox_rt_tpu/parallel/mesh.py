@@ -31,6 +31,20 @@ def make_mesh(n_devices: int | None = None, axis: str = TILE_AXIS) -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def make_mesh_2d(n_hosts: int, n_chips: int,
+                 axes: tuple = ("hosts", TILE_AXIS)) -> Mesh:
+    """hosts x chips mesh (SURVEY §2.8 multi-host DP): tiles stripe over
+    BOTH axes (the sharding layers treat all mesh axes as one tile axis),
+    so gradient psums reduce over ICI within a host and DCN across hosts
+    in a single collective.  On one host / the CPU test mesh this is the
+    same devices reshaped — semantics are identical to the 1D mesh."""
+    devices = jax.devices()
+    n = n_hosts * n_chips
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    return Mesh(np.array(devices[:n]).reshape(n_hosts, n_chips), axes)
+
+
 def initialize_distributed(coordinator: str | None = None,
                            num_processes: int | None = None,
                            process_id: int | None = None):

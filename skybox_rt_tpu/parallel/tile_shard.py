@@ -56,7 +56,7 @@ def make_sharded_render(mesh, cfg: pipeline.DiffRenderConfig):
     Hp = -(-cfg.height // ts) * ts
     Wp = -(-cfg.width // ts) * ts
     gh, gw = Hp // ts, Wp // ts
-    axis = mesh.axis_names[0]
+    axis = tuple(mesh.axis_names)   # 1D or hosts x chips (mesh.make_mesh_2d)
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -110,7 +110,7 @@ def make_train_step(mesh, cfg: pipeline.DiffRenderConfig, lr: float = 0.1,
     from . import overlap as overlap_mod
 
     ts = 1 << cfg.tile_logsize
-    axis = mesh.axis_names[0]
+    axis = tuple(mesh.axis_names)   # 1D or hosts x chips (mesh.make_mesh_2d)
 
     @functools.partial(
         shard_map, mesh=mesh,

@@ -94,3 +94,59 @@ def test_scaling_harness():
     assert results[1]["efficiency"] == 1.0
     for r in results.values():
         assert r["ms"] > 0 and np.isfinite(r["speedup"])
+
+
+def test_sharded_render_2d_mesh():
+    """hosts x chips 2D mesh (mesh.make_mesh_2d): tiles stripe over BOTH
+    axes and psums reduce over both — frame identical to single-device
+    (SURVEY §2.8 multi-host DP shape, validated on the CPU mesh)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    params, static, cfg = _scene()
+    ref = np.asarray(pipeline.render(
+        params, {k: jnp.asarray(v) for k, v in static.items()}, cfg))
+
+    mesh = mesh_mod.make_mesh_2d(2, 4)
+    sharded = tile_shard.shard_tiles(static, 8)
+    render = jax.jit(tile_shard.make_sharded_render(mesh, cfg))
+    got = np.asarray(render(params, sharded))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_train_step_2d_mesh_matches_1d():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    params, static, cfg = _scene()
+    sharded = tile_shard.shard_tiles(static, 8)
+    arrays = {k: jnp.asarray(v) for k, v in sharded.items()}
+    target_img = np.asarray(pipeline.render(
+        params, {k: jnp.asarray(v) for k, v in static.items()}, cfg))
+    tt = jnp.asarray(tile_shard.gather_target_tiles(
+        target_img, sharded["tile_xy"], cfg.tile_logsize))
+    bad = dict(params)
+    bad["color"] = jnp.full_like(params["color"], 0.25)
+
+    p1, l1 = tile_shard.make_train_step(mesh_mod.make_mesh(8), cfg)(
+        bad, arrays, tt)
+    p2, l2 = tile_shard.make_train_step(mesh_mod.make_mesh_2d(2, 4), cfg)(
+        bad, arrays, tt)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
+        p1, p2)
+
+
+def test_draw_shard_2d_mesh_golden():
+    """Exact-int draw3d path striped over a 2D mesh stays bit-exact."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from skybox_rt_tpu.geom import cgltrace
+    from skybox_rt_tpu.parallel import draw_shard
+    from skybox_rt_tpu.ref import driver
+
+    trace = cgltrace.load_cached(cgltrace.trace_path("triangle"))
+    ref = np.asarray(driver.render_trace(trace, 64, 64))
+    mesh = mesh_mod.make_mesh_2d(2, 4)
+    got = np.asarray(draw_shard.render_trace_sharded(trace, 64, 64, mesh))
+    np.testing.assert_array_equal(got, ref)
