@@ -89,6 +89,23 @@ def main():
               f"{R/t/1e6:.1f} Mrays/s  "
               f"(compile+run1 {time.perf_counter()-t0:.0f}s)", flush=True)
 
+        # correctness: strided ray subsample vs the stackless BVH oracle
+        # (independent XLA path) — hit masks must match, t's must agree
+        sl = slice(0, None, 64)                      # 16,384 rays
+        pw, tw, _, _ = pallas_rt.closest_hit_worklist(
+            o_t[sl], d_t[sl], *tri, order=order)
+        pb, tb, _, _ = bvh_mod.closest_hit_stackless(
+            bvh.as_stackless_arrays(), tri, o_t[sl], d_t[sl],
+            t_min=1e-4, leaf_size=bvh.leaf_size)
+        pw_, pb_ = np.asarray(pw), np.asarray(pb)
+        hit_agree = ((pw_ >= 0) == (pb_ >= 0)).mean()
+        hits = (pw_ >= 0) & (pb_ >= 0)
+        t_ok = np.allclose(np.asarray(tw)[hits], np.asarray(tb)[hits],
+                           rtol=1e-4)
+        print(f"  parity {name}: hit-mask agree {hit_agree:.4f}, "
+              f"t allclose {t_ok}", flush=True)
+        assert hit_agree > 0.9999 and t_ok, "worklist parity FAILED"
+
         if P <= 90000:     # streamed comparison in the same window
             t0 = time.perf_counter()
             t = timeit(lambda: pallas_rt.closest_hit_streamed(

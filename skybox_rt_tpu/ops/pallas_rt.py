@@ -656,39 +656,43 @@ def _make_worklist_kernel(t_min: float, tri_block: int, sub: int):
             base = nb * tri_block
             trs = tri_vmem.at[slot]
 
-            def sub_body(s, _):
-                r = pl.ds(s * 8, 8)
-                ox = ox_ref[0, r]
-                oy = oy_ref[0, r]
-                oz = oz_ref[0, r]
-                dx = dx_ref[0, r]
-                dy = dy_ref[0, r]
-                dz = dz_ref[0, r]
+            # the whole (sub*8, 128) ray tile advances per triangle step:
+            # the single-tri splat loop is loop-overhead-bound at (8, 128)
+            # (measured ~146 ns/step regardless of tile height — the 6 G
+            # tests/s ceiling in PERF.md), so 4x the vector work per step
+            # amortizes the scalar loads and loop bookkeeping 4x
+            ox = ox_ref[0]
+            oy = oy_ref[0]
+            oz = oz_ref[0]
+            dx = dx_ref[0]
+            dy = dy_ref[0]
+            dz = dz_ref[0]
 
-                # slab re-test vs the running best_t: the pre-pass used
-                # the static t_max, so this prunes blocks behind hits
-                # already found earlier in the worklist
-                tn, tf = _slab(ba_ref, nb, ox, oy, oz,
-                               _inv_dir(dx), _inv_dir(dy), _inv_dir(dz),
-                               bt_ref[0, r])
+            # slab re-test vs the running best_t: the pre-pass used the
+            # static t_max, so this prunes blocks behind hits already
+            # found earlier in the worklist
+            tn, tf = _slab(ba_ref, nb, ox, oy, oz,
+                           _inv_dir(dx), _inv_dir(dy), _inv_dir(dz),
+                           bt_ref[0])
 
-                @pl.when(jnp.any(tn <= tf))
-                def _():
-                    def step(j, _):
-                        best_t = bt_ref[0, r]
+            @pl.when(jnp.any(tn <= tf))
+            def _():
+                # 8-way unrolled single-tri splats: cuts the loop
+                # bookkeeping that bounds the 6 G tests/s ceiling
+                # (2-way 1.4-1.5x, 4-way another ~1.3x measured)
+                def step(h, _):
+                    for s in range(8):
+                        j = h * 8 + s
+                        best_t = bt_ref[0]
                         hit, t, u, v = _mt_one(ox, oy, oz, dx, dy, dz,
                                                trs[j], t_min, best_t)
-                        bt_ref[0, r] = jnp.where(hit, t, best_t)
-                        bp_ref[0, r] = jnp.where(hit, base + j,
-                                                 bp_ref[0, r])
-                        bu_ref[0, r] = jnp.where(hit, u, bu_ref[0, r])
-                        bv_ref[0, r] = jnp.where(hit, v, bv_ref[0, r])
-                        return 0
+                        bt_ref[0] = jnp.where(hit, t, best_t)
+                        bp_ref[0] = jnp.where(hit, base + j, bp_ref[0])
+                        bu_ref[0] = jnp.where(hit, u, bu_ref[0])
+                        bv_ref[0] = jnp.where(hit, v, bv_ref[0])
+                    return 0
 
-                    jax.lax.fori_loop(0, tri_block, step, 0)
-                return 0
-
-            jax.lax.fori_loop(0, sub, sub_body, 0)
+                jax.lax.fori_loop(0, tri_block // 8, step, 0)
             return 0
 
         jax.lax.fori_loop(0, cnt, loop, 0)
