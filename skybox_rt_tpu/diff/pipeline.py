@@ -347,12 +347,9 @@ def visibility_slots(setup, tile_pids, origins, cfg: DiffRenderConfig,
                 fb_z = jnp.where(write, zp, fb_z)
             else:
                 write = inside
-            if hard:
-                slot_steps = jnp.where(write[..., None], s, slot_steps)
-            else:
-                hit = write[..., None] & (
-                    count[..., None] == jnp.arange(K, dtype=I32))
-                slot_steps = jnp.where(hit, s, slot_steps)
+            hit = write[..., None] & (
+                count[..., None] == jnp.arange(K, dtype=I32))
+            slot_steps = jnp.where(hit, s, slot_steps)
             count = count + write.astype(I32)
             return (fb_z, slot_steps, count), None
 

@@ -757,8 +757,14 @@ def closest_hit_worklist(orig, direction, v0, e1, e2, order=None,
     # the (G, NB) worklist table is a scalar-prefetch arg (SMEM-resident,
     # ~1 MB budget: G=256 x NB=512 x i32 = 512 KB) — 8x the streamed
     # kernel's cap because there is no dense grid multiplying it; huge
-    # scenes take coarser blocks beyond NB_MAX
-    NB_MAX = 512
+    # scenes take coarser blocks beyond NB_MAX.  G grows with ray count
+    # (ceil(R/4096)), so the cap shrinks for huge ray batches: per tri
+    # block the table row costs G*4 B and the lane-padded (NB, 8->128)
+    # AABB prefetch 512 B (ADVICE r2: guard the budget instead of failing
+    # at Mosaic compile time).
+    G_blocks = rays[0].shape[0]
+    SMEM_BUDGET = 700 * 1024
+    NB_MAX = max(8, min(512, SMEM_BUDGET // (G_blocks * 4 + 512)))
     needed = -(-tri.shape[0] // NB_MAX)
     tri_block = max(tri_block, -(-needed // 512) * 512)
     Pp0 = tri.shape[0]

@@ -32,38 +32,46 @@ import jax.numpy as jnp
 
 
 def bucketed_psum(tree, axis_name: str, n_buckets: int = 3):
-    """psum a gradient pytree as `n_buckets` concatenated collectives.
+    """psum a gradient pytree as (up to) `n_buckets` concatenated
+    collectives.
 
-    Leaves are packed greedily (largest first) into the currently
+    Leaves are grouped BY DTYPE (so each concatenated psum reduces in the
+    leaf's native dtype — exact vs a per-leaf psum for every dtype, not
+    just f32), then packed greedily (largest first) into the currently
     smallest bucket, so buckets are size-balanced; each bucket is
-    flattened, concatenated, psum-ed once, then split back.
+    flattened, concatenated, psum-ed once, then split back.  A mixed-dtype
+    tree may therefore emit more than `n_buckets` collectives (one set per
+    dtype); the homogeneous-f32 gradient case emits exactly `n_buckets`.
     """
     leaves, treedef = jax.tree.flatten(tree)
     if not leaves:
         return tree
-    n_buckets = max(1, min(n_buckets, len(leaves)))
 
-    order = sorted(range(len(leaves)), key=lambda i: -leaves[i].size)
-    buckets = [[] for _ in range(n_buckets)]
-    fill = [0] * n_buckets
-    for i in order:
-        b = fill.index(min(fill))
-        buckets[b].append(i)
-        fill[b] += leaves[i].size
+    by_dtype = {}
+    for i, leaf in enumerate(leaves):
+        by_dtype.setdefault(jnp.result_type(leaf), []).append(i)
 
     out = [None] * len(leaves)
-    for idx in buckets:
-        if not idx:
-            continue
-        flat = jnp.concatenate(
-            [leaves[i].astype(jnp.float32).ravel() for i in idx])
-        flat = jax.lax.psum(flat, axis_name)
-        off = 0
-        for i in idx:
-            n = leaves[i].size
-            out[i] = flat[off:off + n].reshape(leaves[i].shape).astype(
-                leaves[i].dtype)
-            off += n
+    for group in by_dtype.values():
+        nb = max(1, min(n_buckets, len(group)))
+        order = sorted(group, key=lambda i: -leaves[i].size)
+        buckets = [[] for _ in range(nb)]
+        fill = [0] * nb
+        for i in order:
+            b = fill.index(min(fill))
+            buckets[b].append(i)
+            fill[b] += leaves[i].size
+
+        for idx in buckets:
+            if not idx:
+                continue
+            flat = jnp.concatenate([leaves[i].ravel() for i in idx])
+            flat = jax.lax.psum(flat, axis_name)
+            off = 0
+            for i in idx:
+                n = leaves[i].size
+                out[i] = flat[off:off + n].reshape(leaves[i].shape)
+                off += n
     return jax.tree.unflatten(treedef, out)
 
 
@@ -90,7 +98,10 @@ def collective_schedule_report(compiled_text: str) -> list:
     starts = {}
     report = []
     for pos, ln in enumerate(lines):
-        m = re.search(r"(%?\S+)\s*=\s*\S*\s*all-reduce-start", ln)
+        # result shape may be a parenthesized tuple, e.g.
+        #   %ars = (f32[8]{0}, f32[8]{0}) all-reduce-start(...)
+        m = re.search(r"(%?[\w.\-]+)\s*=\s*(?:\([^)]*\)|\S+)?\s*"
+                      r"all-reduce-start", ln)
         if m:
             starts[m.group(1).rstrip(" =")] = pos
             continue

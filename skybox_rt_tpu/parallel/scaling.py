@@ -74,7 +74,8 @@ def measure(mesh_sizes=None, size: int = 256, iters: int = 10,
             def run_n(p, arrays=arrays, target=target, step=step):
                 def body(i, carry):
                     p, _ = carry
-                    return step(p, arrays, target)
+                    p, loss, _maxw = step(p, arrays, target)
+                    return (p, loss)
                 return jax.lax.fori_loop(0, iters, body,
                                          (p, jnp.float32(0.0)))
 
@@ -87,12 +88,12 @@ def measure(mesh_sizes=None, size: int = 256, iters: int = 10,
         else:
             p = params
             for _ in range(max(warmup, 1)):  # >=1: the compile must land
-                p, loss = step(p, arrays, target)
+                p, loss, _ = step(p, arrays, target)
             jax.block_until_ready(loss)
             t0 = time.perf_counter()
             p = params
             for _ in range(iters):
-                p, loss = step(p, arrays, target)
+                p, loss, _ = step(p, arrays, target)
             jax.block_until_ready(loss)
             ms = (time.perf_counter() - t0) / iters * 1e3
 

@@ -105,7 +105,14 @@ def make_train_step(mesh, cfg: pipeline.DiffRenderConfig, lr: float = 0.1,
     concatenated collectives (parallel.overlap.bucketed_psum) so XLA's
     scheduler can overlap each bucket's all-reduce with the backward
     compute feeding the next; 0 = one psum per parameter.
-    Returns step(params, static_arrays, target_tiles) -> (params, loss).
+    Returns step(params, static_arrays, target_tiles)
+        -> (params, loss, max_writes).
+    max_writes is the mesh-max observed per-pixel write count of the
+    deferred visibility pass (0 when deferred=False): when it exceeds
+    `slots` in a blend/soft config, the deferred tiles (and therefore the
+    loss/grads) deviate from the exact scan renderer — callers should
+    re-dispatch with slots >= max_writes (tests/test_diff_deferred.py
+    asserts no silent overflow in the shipped configs).
     """
     from . import overlap as overlap_mod
 
@@ -115,34 +122,37 @@ def make_train_step(mesh, cfg: pipeline.DiffRenderConfig, lr: float = 0.1,
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=(P(), P()), check_vma=False,
+        out_specs=(P(), P(), P()), check_vma=False,
     )
     def _grads(params, indices, tile_pids, tile_xy, tile_valid, target_tiles):
         def local_loss(params):
             setup = pipeline.prim_setup(params, indices, cfg)
             if deferred:
-                tiles, _ = pipeline.render_tile_set_deferred(
+                tiles, maxw = pipeline.render_tile_set_deferred(
                     setup, tile_pids, tile_xy * ts, cfg, slots)
             else:
                 tiles = pipeline.render_tile_set(setup, tile_pids,
                                                  tile_xy * ts, cfg)
+                maxw = jnp.int32(0)
             err = (tiles - target_tiles) ** 2
-            return jnp.sum(err * tile_valid[:, None, None, None])
+            return jnp.sum(err * tile_valid[:, None, None, None]), maxw
 
-        loss, grads = jax.value_and_grad(local_loss)(params)
+        (loss, maxw), grads = jax.value_and_grad(
+            local_loss, has_aux=True)(params)
         # gradient all-reduce across the mesh — bucketed so each bucket's
         # collective depends only on its own leaves and can overlap the
         # rest of the backward (parallel.overlap docstring)
         loss = jax.lax.psum(loss, axis)
+        maxw = jax.lax.pmax(maxw, axis)
         if grad_buckets > 0:
             grads = overlap_mod.bucketed_psum(grads, axis, grad_buckets)
         else:
             grads = jax.tree.map(lambda g: jax.lax.psum(g, axis), grads)
-        return loss, grads
+        return loss, grads, maxw
 
     @jax.jit
     def step(params, arrays, target_tiles):
-        loss, grads = _grads(
+        loss, grads, maxw = _grads(
             params, arrays["indices"], arrays["tile_pids"],
             arrays["tile_xy"], arrays["tile_valid"], target_tiles,
         )
@@ -150,7 +160,7 @@ def make_train_step(mesh, cfg: pipeline.DiffRenderConfig, lr: float = 0.1,
             k: (v - lr * grads[k] if k in trainable else v)
             for k, v in params.items()
         }
-        return params, loss
+        return params, loss, maxw
 
     return step
 

@@ -165,9 +165,11 @@ def test_sharded_deferred_train_step_matches_scan_step():
 
     step_d = tile_shard.make_train_step(mesh, cfg, lr=1e-3, deferred=True)
     step_s = tile_shard.make_train_step(mesh, cfg, lr=1e-3, deferred=False)
-    pd, ld = step_d(params, arrays, jnp.asarray(target))
-    ps, ls = step_s(params, arrays, jnp.asarray(target))
+    pd, ld, maxw = step_d(params, arrays, jnp.asarray(target))
+    ps, ls, _ = step_s(params, arrays, jnp.asarray(target))
     np.testing.assert_allclose(float(ld), float(ls), rtol=1e-6)
+    # overflow indicator surfaced (ADVICE r2): hard config -> <= 1 write
+    assert int(maxw) <= 8
     for k in pd:
         np.testing.assert_allclose(np.asarray(pd[k]), np.asarray(ps[k]),
                                    rtol=1e-4, atol=1e-6, err_msg=k)

@@ -60,6 +60,42 @@ def test_bucketed_psum_matches_per_leaf(n_buckets):
         got, ref)
 
 
+def test_bucketed_psum_mixed_dtypes_native():
+    """Buckets are grouped by dtype (ADVICE r2): bf16/i32 leaves reduce in
+    their NATIVE dtype — bitwise equal to a per-leaf psum, not an f32
+    round-trip."""
+    n = min(8, len(jax.devices()))
+    mesh = mesh_mod.make_mesh(n)
+    rng = np.random.default_rng(5)
+    tree = {
+        "f": jnp.asarray(rng.normal(size=(17,)).astype(np.float32)),
+        "h": jnp.asarray(rng.normal(size=(9, 3)).astype(np.float32)
+                         ).astype(jnp.bfloat16),
+        "i": jnp.asarray(rng.integers(0, 100, size=(5,)).astype(np.int32)),
+    }
+    stacked = jax.tree.map(
+        lambda x: jnp.stack([x * (i + 1) for i in range(n)]), tree)
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(P("tiles"),),
+                       out_specs=P(), check_vma=False)
+    def bucketed(t):
+        local = jax.tree.map(lambda x: x[0], t)
+        return overlap.bucketed_psum(local, "tiles", 2)
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(P("tiles"),),
+                       out_specs=P(), check_vma=False)
+    def per_leaf(t):
+        local = jax.tree.map(lambda x: x[0], t)
+        return jax.tree.map(lambda g: jax.lax.psum(g, "tiles"), local)
+
+    got = bucketed(stacked)
+    ref = per_leaf(stacked)
+    for k in tree:
+        assert got[k].dtype == ref[k].dtype == tree[k].dtype, k
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(ref[k]), err_msg=k)
+
+
 def test_bucket_count_in_lowered_hlo():
     """The lowered module (pre-combiner) contains exactly n_buckets
     gradient all-reduces (+1 for the loss scalar); the compiled module
@@ -81,7 +117,8 @@ def test_bucket_count_in_lowered_hlo():
 
     n_leaves = len(jax.tree.leaves(params))
     assert n_leaves >= 3
-    for n_buckets, expect in [(2, 2 + 1), (0, n_leaves + 1)]:
+    # +1 loss psum, +1 max_writes pmax (the overflow indicator)
+    for n_buckets, expect in [(2, 2 + 2), (0, n_leaves + 2)]:
         step = tile_shard.make_train_step(mesh, cfg,
                                           grad_buckets=n_buckets)
         lowered = jax.jit(step).lower(params, arrays, tt)
@@ -107,9 +144,9 @@ def test_train_step_bucketed_matches_unbucketed():
 
     bad = dict(params)
     bad["color"] = jnp.full_like(params["color"], 0.25)
-    p_b, loss_b = tile_shard.make_train_step(mesh, cfg, grad_buckets=3)(
+    p_b, loss_b, _ = tile_shard.make_train_step(mesh, cfg, grad_buckets=3)(
         bad, arrays, tt)
-    p_u, loss_u = tile_shard.make_train_step(mesh, cfg, grad_buckets=0)(
+    p_u, loss_u, _ = tile_shard.make_train_step(mesh, cfg, grad_buckets=0)(
         bad, arrays, tt)
     np.testing.assert_allclose(float(loss_b), float(loss_u), rtol=1e-6)
     jax.tree.map(

@@ -67,7 +67,7 @@ def test_training_step_converges():
     losses = []
     p = bad
     for _ in range(250):
-        p, loss = step(p, arrays, tt)
+        p, loss, _ = step(p, arrays, tt)
         losses.append(float(loss))
 
     assert losses[-1] < losses[0] * 0.05, losses[:3] + losses[-3:]
@@ -126,9 +126,9 @@ def test_train_step_2d_mesh_matches_1d():
     bad = dict(params)
     bad["color"] = jnp.full_like(params["color"], 0.25)
 
-    p1, l1 = tile_shard.make_train_step(mesh_mod.make_mesh(8), cfg)(
+    p1, l1, _ = tile_shard.make_train_step(mesh_mod.make_mesh(8), cfg)(
         bad, arrays, tt)
-    p2, l2 = tile_shard.make_train_step(mesh_mod.make_mesh_2d(2, 4), cfg)(
+    p2, l2, _ = tile_shard.make_train_step(mesh_mod.make_mesh_2d(2, 4), cfg)(
         bad, arrays, tt)
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
     jax.tree.map(
