@@ -8,7 +8,12 @@ simulator — so vs_baseline is pinned to THIS framework's round-1 measured
 value (BENCH_r01.json: 2939.332 Mpix/s on one v5e chip), making the field a
 round-over-round progress ratio.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line.  Headline fields {"metric", "value", "unit",
+"vs_baseline"} are the round-over-round contract; the "extra" blob is the
+standing per-round artifact (VERDICT r2 #8; ≅ the reference's perf sweep
+protocol /root/reference/perf/graphics/run.sh:16-33): which render mode the
+headline used, the 1024^2 single-draw forward number, and the 512^2
+fwd+bwd (training-step) number, so regressions are attributable per path.
 """
 from __future__ import annotations
 
@@ -23,33 +28,33 @@ FRAMES = 20
 ROUND1_BASELINE_MPIX_S = 2939.332   # BENCH_r01.json, v5e 1 chip
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
-    from skybox_rt_tpu.core import state as state_mod
-    from skybox_rt_tpu.geom import binning, cgltrace
+def _headline(jax):
+    from skybox_rt_tpu.geom import cgltrace
     from skybox_rt_tpu.ref import driver as ref_driver
-    from skybox_rt_tpu.ref import renderer
 
     trace = cgltrace.load_cached(cgltrace.trace_path(SCENE))
 
     # --- host-side setup (untimed, like the reference's binning) ---
-    # deferred mode: exact-equivalent visibility+shade split (one texture
-    # gather per pixel; ~20x the immediate path on chip), verified
-    # bit-identical to immediate in tests/test_deferred.py.  Fall back to
-    # the immediate oracle if the fast path ever fails to compile — a
+    # pallas mode: fused-gradient Pallas visibility + quad-table sampling
+    # (measured fastest same-window, PERF.md round 3); fall back through
+    # the exact-equivalent slower paths if it ever fails to compile — a
     # slower number beats no number.
-    try:
-        frame, arrays = ref_driver.compile_frame(trace, SIZE, SIZE,
-                                                 mode="deferred")
-        fb = frame(arrays)
-        jax.block_until_ready(fb)      # warmup (compile)
-    except Exception:
-        frame, arrays = ref_driver.compile_frame(trace, SIZE, SIZE,
-                                                 mode="immediate")
-        fb = frame(arrays)
-        jax.block_until_ready(fb)
+    # (on non-TPU platforms "pallas" would run the Python interpreter —
+    # skip straight to the XLA paths there)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    modes = ("pallas", "deferred", "immediate") if on_tpu else (
+        "deferred", "immediate")
+    frame = None
+    for mode in modes:
+        try:
+            frame, arrays = ref_driver.compile_frame(trace, SIZE, SIZE,
+                                                     mode=mode)
+            fb = frame(arrays)
+            jax.block_until_ready(fb)      # warmup (compile)
+            break
+        except Exception:
+            frame = None
+    assert frame is not None, "no render mode compiled"
     num_draws = len(arrays)
 
     t0 = time.perf_counter()
@@ -59,12 +64,132 @@ def main():
     elapsed = time.perf_counter() - t0
 
     pixels = SIZE * SIZE * num_draws * FRAMES
-    mpix_s = pixels / elapsed / 1e6
+    return pixels / elapsed / 1e6, mode
+
+
+def _draw1024(jax):
+    """Single textured drawcall at 1024^2 (PERF.md table protocol)."""
+    import jax.numpy as jnp
+
+    from skybox_rt_tpu.core import constants as C
+    from skybox_rt_tpu.core import state as state_mod
+    from skybox_rt_tpu.geom import binning, cgltrace
+    from skybox_rt_tpu.ops import deferred as deferred_mod
+    from skybox_rt_tpu.ref import driver, renderer
+
+    W = H = 1024
+    trace = cgltrace.load_cached(cgltrace.trace_path(SCENE))
+    dc = trace.drawcalls[0]
+    binned = binning.bin_drawcall(dc.pos, dc.indices, dc.color, dc.texcoord,
+                                  W, H, dc.near, dc.far,
+                                  C.RASTER_TILE_LOGSIZE)
+    flags = state_mod.make_shader_flags(
+        dc.states.depth_test, dc.states.color_enabled,
+        dc.states.texture_enabled, dc.states.texture_envmode)
+    rs = state_mod.RenderState(
+        flags=flags, om=state_mod.make_om_state(dc.states),
+        tex=None, scissor=(0, 0, W, H))
+    tex_state, texels = driver.make_texture_binding(trace, dc, dc.states)
+    rs = state_mod.RenderState(flags=flags, om=rs.om, tex=tex_state,
+                               scissor=(0, 0, W, H))
+    fbc = jnp.asarray(renderer.pad_framebuffer(
+        np.full((H, W), driver.CLEAR_COLOR, np.uint32),
+        C.RASTER_TILE_LOGSIZE))
+    fbd = jnp.asarray(renderer.pad_framebuffer(
+        np.full((H, W), driver.CLEAR_DEPTH, np.uint32),
+        C.RASTER_TILE_LOGSIZE))
+
+    vis = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+
+    def run():
+        return deferred_mod.render_drawcall(rs, texels, binned, fbc, fbd,
+                                            visibility=vis)
+    out = run()
+    jax.block_until_ready(out)
+    n = 20
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = run()
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n
+    return W * H / dt / 1e6
+
+
+def _fwd_bwd(jax):
+    """512^2 deferred diff pipeline, compiled 10-step loop
+    (scripts/diff_chip_bench.py protocol)."""
+    import jax.numpy as jnp
+
+    from skybox_rt_tpu.diff import binning as dbin
+    from skybox_rt_tpu.diff import pipeline
+    from skybox_rt_tpu.models import scenes
+
+    SZ, STEPS, TL = 512, 10, 5
+    verts, faces = scenes.icosphere(subdiv=4, radius=0.85)
+    V = verts.shape[0]
+    pos = np.concatenate([verts.astype(np.float32),
+                          np.ones((V, 1), np.float32)], axis=1)
+    pos[:, 2] = pos[:, 2] * 0.4 + 0.5
+    rng = np.random.default_rng(0)
+    params = {
+        "pos": jnp.asarray(pos),
+        "color": jnp.asarray(rng.uniform(0.2, 1.0, (V, 4)).astype(np.float32)),
+        "uv": jnp.asarray(rng.uniform(0.0, 1.0, (V, 2)).astype(np.float32)),
+        "tex": jnp.asarray(scenes.checkerboard_texture(64, 8)),
+    }
+    cfg = pipeline.DiffRenderConfig(width=SZ, height=SZ, tile_logsize=TL,
+                                    depth_test=True, textured=True,
+                                    modulate=True)
+    static = dbin.bin_static(pos, faces.astype(np.int32), SZ, SZ,
+                             tile_logsize=TL)
+    static = {k: jnp.asarray(v) for k, v in static.items()}
+    target = jnp.zeros((SZ, SZ, 4), jnp.float32)
+
+    def loss_fn(params):
+        img, _ = pipeline.render_deferred(params, static, cfg, slots=8)
+        return jnp.sum((img[:SZ, :SZ] - target) ** 2)
+
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    @jax.jit
+    def loop(params):
+        def body(_, carry):
+            params, acc = carry
+            loss, g = grad_fn(params)
+            params = {k: v - 1e-6 * g[k] if k in g else v
+                      for k, v in params.items()}
+            return params, acc + loss
+        return jax.lax.fori_loop(0, STEPS, body, (params, 0.0))
+
+    out = jax.block_until_ready(loop(params))
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(loop(params))
+    wall = time.perf_counter() - t0
+    return SZ * SZ * STEPS / wall / 1e6
+
+
+def main():
+    import jax
+
+    mpix_s, mode = _headline(jax)
+    extra = {"mode": mode}
+    try:
+        extra["draw1024_mpix_s"] = round(_draw1024(jax), 1)
+    except Exception as e:       # standing artifact must not kill the bench
+        extra["draw1024_mpix_s"] = None
+        extra["draw1024_error"] = type(e).__name__
+    try:
+        extra["fwd_bwd_512_mpix_s"] = round(_fwd_bwd(jax), 2)
+    except Exception as e:
+        extra["fwd_bwd_512_mpix_s"] = None
+        extra["fwd_bwd_error"] = type(e).__name__
+
     print(json.dumps({
         "metric": f"draw3d_{SCENE}_{SIZE}x{SIZE}_fwd",
         "value": round(mpix_s, 3),
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / ROUND1_BASELINE_MPIX_S, 3),
+        "extra": extra,
     }))
 
 

@@ -74,18 +74,31 @@ def main():
         # compiled loop: scan FRAMES times inside one jit.  The frame fn
         # is loop-invariant, so thread the previous fb through an
         # optimization_barrier into the inputs to defeat hoisting/CSE.
+        # BOTH barrier outputs must stay live (the tok side feeds an
+        # accumulator returned from the jit), otherwise XLA drops the dead
+        # tuple element and hoists the whole frame out of the loop
+        # (observed: 0.003 ms/frame == a copy loop).
+        leaves, treedef = jax.tree.flatten(arrays)
+
         @jax.jit
         def loop(arrays):
-            def body(fb, _):
+            leaves, _ = jax.tree.flatten(arrays)
+
+            def body(carry, _):
+                fb, acc = carry
                 tok = fb[0, 0]
-                arrays_b = jax.tree.map(
-                    lambda a: jax.lax.optimization_barrier((a, tok))[0],
-                    arrays)
-                return frame(arrays_b), None
-            fb, _ = jax.lax.scan(body,
-                                 jnp.zeros((SIZE, SIZE), jnp.uint32),
-                                 None, length=FRAMES)
-            return fb
+                new_leaves = []
+                for a in leaves:
+                    a_b, tok_b = jax.lax.optimization_barrier((a, tok))
+                    new_leaves.append(a_b)
+                    acc = acc + tok_b
+                fb2 = frame(jax.tree.unflatten(treedef, new_leaves))
+                return (fb2, acc), None
+
+            (fb, acc), _ = jax.lax.scan(
+                body, (jnp.zeros((SIZE, SIZE), jnp.uint32),
+                       jnp.uint32(0)), None, length=FRAMES)
+            return fb, acc
         try:
             dt, compile_s, _ = timed(loop, arrays, n=5)
             per_frame = dt / FRAMES

@@ -82,12 +82,15 @@ def main():
               f"active/rayblock mean={cnt.mean():.1f} max={cnt.max()}",
               flush=True)
 
-        t0 = time.perf_counter()
-        t = timeit(lambda: pallas_rt.closest_hit_worklist(
-            o_t, d_t, *tri, order=order))
-        print(f"worklist {name} P={P}: {t*1e3:.2f} ms  "
-              f"{R/t/1e6:.1f} Mrays/s  "
-              f"(compile+run1 {time.perf_counter()-t0:.0f}s)", flush=True)
+        for f2b in (False, True):
+            t0 = time.perf_counter()
+            t = timeit(lambda: pallas_rt.closest_hit_worklist(
+                o_t, d_t, *tri, order=order, front_to_back=f2b))
+            tag = "f2b" if f2b else "id-order"
+            print(f"worklist {name} P={P} [{tag}]: {t*1e3:.2f} ms  "
+                  f"{R/t/1e6:.1f} Mrays/s  "
+                  f"(compile+run1 {time.perf_counter()-t0:.0f}s)",
+                  flush=True)
 
         # correctness: strided ray subsample vs the stackless BVH oracle
         # (independent XLA path) — hit masks must match, t's must agree

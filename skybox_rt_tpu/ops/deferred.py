@@ -221,9 +221,18 @@ def render_tiles_deferred(render_state, texels, edges, attribs, zattr,
                 fused=True)
             grads = (dxw, dyw)
     else:
-        dsw, slots, cnt = _visibility_tiles(
-            render_state, edges, zattr, tile_pids, tile_xy, sel_d,
-            tile_logsize, blend_slots=blend_slots)
+        if visibility == "xla":
+            dsw, slots, cnt = _visibility_tiles(
+                render_state, edges, zattr, tile_pids, tile_xy, sel_d,
+                tile_logsize, blend_slots=blend_slots)
+        else:
+            # slotted Pallas pass 1 (VERDICT r2 #4): blended draws no
+            # longer force the XLA scan
+            from . import pallas_raster
+            dsw, slots, cnt = pallas_raster.visibility_tiles(
+                render_state, edges, zattr, tile_pids, tile_xy, sel_d,
+                tile_logsize, interpret=(visibility == "pallas_interpret"),
+                blend_slots=blend_slots)
         max_cnt = jnp.max(cnt)
 
     # pass 2 over the selected tiles' pixels
@@ -379,7 +388,7 @@ def render_drawcall(render_state: RenderState, texels, binned,
     max_k = binned.tile_pids.shape[1]          # cannot exceed prims/tile
     while True:
         fbc, fbd, max_cnt = _render_deferred_jit(
-            *args, visibility="xla", blend_slots=min(k, max_k))
+            *args, visibility=visibility, blend_slots=min(k, max_k))
         m = int(max_cnt)
         if m <= k or k >= max_k:
             break

@@ -61,7 +61,8 @@ def pack_prim_records(edges, zattr, tile_pids):
 
 
 def _make_kernel(om, shade_z: bool, tile_logsize: int, scissor,
-                 num_prims: int, fused: bool = False):
+                 num_prims: int, fused: bool = False,
+                 blend_slots: int = 0):
     ts = 1 << tile_logsize
     ns = (ts * ts) // LANES
     left, top, right, bottom = scissor
@@ -72,9 +73,9 @@ def _make_kernel(om, shade_z: bool, tile_logsize: int, scissor,
     # re-evaluation; bit-exact because the incremental edge eval here is
     # identical mod 2^32 to the direct a*x+b*y+c evaluation
     need_grad = fused or (ds_active and shade_z)
+    K = blend_slots
 
-    def kernel(origin_ref, prim_ref, fbds_ref, dsw_ref, win_ref,
-               *grad_refs):
+    def kernel(origin_ref, prim_ref, fbds_ref, dsw_ref, *out_refs):
         # constant lane grids: local x/y per flattened pixel index
         idx = (jax.lax.broadcasted_iota(I32, (ns, LANES), 0) * LANES
                + jax.lax.broadcasted_iota(I32, (ns, LANES), 1))
@@ -90,11 +91,21 @@ def _make_kernel(om, shade_z: bool, tile_logsize: int, scissor,
                       & (ys >= top) & (ys < bottom))
 
         dsw_ref[0] = fbds_ref[0]
-        win_ref[0] = jnp.full((ns, LANES), -1, I32)
-        if fused:
-            dx_ref, dy_ref = grad_refs
-            dx_ref[0] = jnp.zeros((ns, LANES), I32)
-            dy_ref[0] = jnp.zeros((ns, LANES), I32)
+        if K > 0:
+            # slotted (blend) carry: per-pixel slot list + write count,
+            # the in-kernel twin of ops.deferred._visibility_tiles'
+            # blend_slots path (om_unit.cpp:158-333 ordered writes)
+            slots_ref, cnt_ref = out_refs
+            slots_ref[0] = jnp.full((K, ns, LANES), -1, I32)
+            cnt_ref[0] = jnp.zeros((ns, LANES), I32)
+            k_iota = jax.lax.broadcasted_iota(I32, (K, ns, LANES), 0)
+        else:
+            win_ref = out_refs[0]
+            win_ref[0] = jnp.full((ns, LANES), -1, I32)
+            if fused:
+                dx_ref, dy_ref = out_refs[1], out_refs[2]
+                dx_ref[0] = jnp.zeros((ns, LANES), I32)
+                dy_ref[0] = jnp.zeros((ns, LANES), I32)
 
         def step(i, _):
             r = prim_ref[0, i]                       # (16,) record row
@@ -133,10 +144,16 @@ def _make_kernel(om, shade_z: bool, tile_logsize: int, scissor,
                 dsw_ref[0] = new_dsw
             else:
                 upd = cov
-            win_ref[0] = jnp.where(upd, i, win_ref[0])
-            if fused:
-                dx_ref[0] = jnp.where(upd, dx, dx_ref[0])
-                dy_ref[0] = jnp.where(upd, dy, dy_ref[0])
+            if K > 0:
+                cnt = cnt_ref[0]
+                onehot = (k_iota == cnt[None]) & upd[None]
+                slots_ref[0] = jnp.where(onehot, i, slots_ref[0])
+                cnt_ref[0] = cnt + upd.astype(I32)
+            else:
+                win_ref[0] = jnp.where(upd, i, win_ref[0])
+                if fused:
+                    dx_ref[0] = jnp.where(upd, dx, dx_ref[0])
+                    dy_ref[0] = jnp.where(upd, dy, dy_ref[0])
             return 0
 
         jax.lax.fori_loop(0, num_prims, step, 0)
@@ -147,20 +164,37 @@ def _make_kernel(om, shade_z: bool, tile_logsize: int, scissor,
 @functools.partial(
     jax.jit,
     static_argnames=("om", "shade_z", "tile_logsize", "scissor",
-                     "interpret", "fused"))
+                     "interpret", "fused", "blend_slots"))
 def _visibility_call(prim_records, fb_ds_tiles, origins, *, om, shade_z,
-                     tile_logsize, scissor, interpret, fused=False):
+                     tile_logsize, scissor, interpret, fused=False,
+                     blend_slots=0):
     T, M, _ = prim_records.shape
     ts = 1 << tile_logsize
     ns = (ts * ts) // LANES
+    K = blend_slots
     fb_flat = fb_ds_tiles.reshape(T, ns, LANES)
 
     kernel = _make_kernel(om, shade_z, tile_logsize, scissor, M,
-                          fused=fused)
+                          fused=fused, blend_slots=K)
 
-    n_out = 4 if fused else 2
     tile_spec = pl.BlockSpec((1, ns, LANES), lambda t, _: (t, 0, 0),
                              memory_space=pltpu.VMEM)
+    if K > 0:
+        slot_spec = pl.BlockSpec((1, K, ns, LANES),
+                                 lambda t, _: (t, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_specs = (tile_spec, slot_spec, tile_spec)
+        out_shape = (jax.ShapeDtypeStruct((T, ns, LANES), jnp.uint32),
+                     jax.ShapeDtypeStruct((T, K, ns, LANES), jnp.int32),
+                     jax.ShapeDtypeStruct((T, ns, LANES), jnp.int32))
+    else:
+        n_out = 4 if fused else 2
+        out_specs = (tile_spec,) * n_out
+        out_shape = (jax.ShapeDtypeStruct((T, ns, LANES), jnp.uint32),
+                     jax.ShapeDtypeStruct((T, ns, LANES), jnp.int32))
+        if fused:
+            out_shape += (jax.ShapeDtypeStruct((T, ns, LANES), jnp.int32),
+                          jax.ShapeDtypeStruct((T, ns, LANES), jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,           # origins (T, 2) live in SMEM
         grid=(T,),
@@ -169,13 +203,8 @@ def _visibility_call(prim_records, fb_ds_tiles, origins, *, om, shade_z,
                          memory_space=pltpu.VMEM),
             tile_spec,
         ],
-        out_specs=(tile_spec,) * n_out,
+        out_specs=out_specs,
     )
-    out_shape = (jax.ShapeDtypeStruct((T, ns, LANES), jnp.uint32),
-                 jax.ShapeDtypeStruct((T, ns, LANES), jnp.int32))
-    if fused:
-        out_shape += (jax.ShapeDtypeStruct((T, ns, LANES), jnp.int32),
-                      jax.ShapeDtypeStruct((T, ns, LANES), jnp.int32))
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -183,6 +212,10 @@ def _visibility_call(prim_records, fb_ds_tiles, origins, *, om, shade_z,
         interpret=interpret,
     )(origins.astype(I32), prim_records, fb_flat)
 
+    if K > 0:
+        dsw, slots, cnt = out
+        return (dsw.reshape(T, ts, ts), slots.reshape(T, K, ts, ts),
+                cnt.reshape(T, ts, ts))
     return tuple(o.reshape(T, ts, ts) for o in out)
 
 
@@ -192,15 +225,31 @@ def supported(render_state, tile_logsize: int) -> bool:
     return (ts * ts) % LANES == 0
 
 
+def _slot_to_pid(tile_pids, slot_idx):
+    """Per-tile record indices -> global pids (-1 preserved)."""
+    slot = jnp.maximum(slot_idx, 0)
+    T = slot.shape[0]
+    pid = jnp.take_along_axis(
+        jnp.asarray(tile_pids), slot.reshape(T, -1), axis=1
+    ).reshape(slot.shape)
+    return jnp.where(slot_idx >= 0, pid, -1)
+
+
 def visibility_tiles(render_state, edges, zattr, tile_pids, tile_xy,
                      fb_ds_tiles, tile_logsize, interpret=False,
-                     fused=False):
-    """Drop-in replacement for ops.deferred._visibility_tiles, returning
-    (dsw (T,ts,ts) u32, winner pid (T,ts,ts) i32 with -1 = none).
+                     fused=False, blend_slots=0):
+    """Drop-in replacement for ops.deferred._visibility_tiles.
 
-    fused=True additionally returns the winner's interpolation gradients
-    (dx, dy) (T,ts,ts) i32 fixed24, letting pass 2 skip the per-pixel
-    edge gather + re-evaluation (ops.deferred._shade_pixels grads=)."""
+    blend_slots == 0: returns (dsw (T,ts,ts) u32, winner pid (T,ts,ts) i32
+    with -1 = none); fused=True additionally returns the winner's
+    interpolation gradients (dx, dy) (T,ts,ts) i32 fixed24, letting pass 2
+    skip the per-pixel edge gather + re-evaluation
+    (ops.deferred._shade_pixels grads=).
+
+    blend_slots == K: the slotted carry for blended draws
+    (om_unit.cpp:158-333) — returns (dsw, slots (T,K,ts,ts) i32 pids in
+    submission order (-1 empty), cnt (T,ts,ts) i32 passing-fragment
+    count), matching the XLA twin exactly."""
     recs = pack_prim_records(jnp.asarray(edges), jnp.asarray(zattr),
                              jnp.asarray(tile_pids))
     ts = 1 << tile_logsize
@@ -213,14 +262,14 @@ def visibility_tiles(render_state, edges, zattr, tile_pids, tile_xy,
         scissor=tuple(render_state.scissor),
         interpret=interpret,
         fused=fused,
+        blend_slots=blend_slots,
     )
+    if blend_slots > 0:
+        dsw, slots, cnt = out
+        return dsw, _slot_to_pid(jnp.asarray(tile_pids), slots), cnt
     dsw, win_slot = out[0], out[1]
     # slot -> pid (slots are per-tile indices into tile_pids)
-    slot = jnp.maximum(win_slot, 0)
-    pid = jnp.take_along_axis(
-        jnp.asarray(tile_pids), slot.reshape(slot.shape[0], -1), axis=1
-    ).reshape(win_slot.shape)
-    win = jnp.where(win_slot >= 0, pid, -1)
+    win = _slot_to_pid(jnp.asarray(tile_pids), win_slot)
     if fused:
         return dsw, win, out[2], out[3]
     return dsw, win

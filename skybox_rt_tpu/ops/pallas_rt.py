@@ -446,11 +446,18 @@ def _make_streamed_kernel(t_min: float, tri_block: int, sub: int):
     return kernel
 
 
-def _active_block_lists(rays, blk_aabb, tmax_arr):
+def _active_block_lists(rays, blk_aabb, tmax_arr, front_to_back=True):
     """XLA pre-pass: exact per-ray slab tests, any-reduced per 1024-ray
-    block -> (blkidx (G, NB) i32 active ids compacted to the front,
-    blkcnt (G,) i32).  Chunked over NB to bound the (G, chunk, 8, 128)
-    temporaries."""
+    block -> (blkidx (G, NB) i32 active ids compacted to the front IN
+    FRONT-TO-BACK ORDER, blkcnt (G,) i32).  Chunked over NB to bound the
+    (G, chunk, 8, 128) temporaries.
+
+    Front-to-back: active blocks are ordered by their minimum slab entry
+    distance over the ray block, so the worklist kernel's running-best_t
+    slab re-test (the analog of the raster unit's extent reject,
+    graphics.cpp:743-797) prunes occluded blocks — the dominant cost in
+    multi-object scenes, where most of a ray block's active blocks lie
+    behind the nearest hit."""
     ox, oy, oz, dx, dy, dz = rays
     G = ox.shape[0]
     NB = blk_aabb.shape[0]
@@ -459,6 +466,7 @@ def _active_block_lists(rays, blk_aabb, tmax_arr):
     inv_dz = _inv_dir(dz)[:, None]
     oxb, oyb, ozb = ox[:, None], oy[:, None], oz[:, None]
     far = tmax_arr[:, None]
+    INF = jnp.float32(float("inf"))
 
     def chunk(a):                         # a: (nc, 8) AABBs
         lox = a[None, :, 0, None, None]
@@ -479,15 +487,24 @@ def _active_block_lists(rays, blk_aabb, tmax_arr):
         tf = jnp.minimum(
             jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
             jnp.minimum(jnp.maximum(t0z, t1z), far))
-        return jnp.any(tn <= tf, axis=(2, 3))          # (G, nc)
+        hit = tn <= tf
+        # per-(ray block, tri block): any hit + nearest entry distance
+        tn_min = jnp.min(jnp.where(hit, tn, INF), axis=(2, 3))  # (G, nc)
+        return jnp.any(hit, axis=(2, 3)), tn_min
 
     CH = 32
     NBp = -(-NB // CH) * CH
     aabb_p = jnp.pad(blk_aabb, ((0, NBp - NB), (0, 0)))
-    act = jax.lax.map(chunk, aabb_p.reshape(NBp // CH, CH, 8))
+    act, tnm = jax.lax.map(chunk, aabb_p.reshape(NBp // CH, CH, 8))
     active = jnp.moveaxis(act, 1, 0).reshape(G, NBp)[:, :NB]
-    # stable argsort of ~active puts active ids first, in ascending nb
-    blkidx = jnp.argsort(~active, axis=1, stable=True).astype(jnp.int32)
+    tn_min = jnp.moveaxis(tnm, 1, 0).reshape(G, NBp)[:, :NB]
+    if front_to_back:
+        # sort by (inactive, entry distance): active ids first, near-to-far
+        key = jnp.where(active, tn_min, INF)
+        blkidx = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
+    else:
+        # active ids first in ascending block id (round-2 behavior)
+        blkidx = jnp.argsort(~active, axis=1, stable=True).astype(jnp.int32)
     blkcnt = jnp.sum(active, axis=1).astype(jnp.int32)
     return blkidx, blkcnt
 
@@ -701,12 +718,13 @@ def _make_worklist_kernel(t_min: float, tri_block: int, sub: int):
 
 
 @functools.partial(jax.jit, static_argnames=("t_min", "tri_block", "sub",
-                                             "interpret"))
+                                             "interpret", "front_to_back"))
 def _worklist_call(rays, tri, tmax_arr, blk_aabb, t_min, tri_block, sub,
-                   interpret):
+                   interpret, front_to_back=True):
     G = rays[0].shape[0]
     NB = blk_aabb.shape[0]
-    blkidx, blkcnt = _active_block_lists(rays, blk_aabb, tmax_arr)
+    blkidx, blkcnt = _active_block_lists(rays, blk_aabb, tmax_arr,
+                                         front_to_back=front_to_back)
     kernel = _make_worklist_kernel(t_min, tri_block, sub)
     ray_spec = pl.BlockSpec((1, sub * 8, LANES), lambda g, *_: (g, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -740,7 +758,8 @@ def _worklist_call(rays, tri, tmax_arr, blk_aabb, t_min, tri_block, sub,
 def closest_hit_worklist(orig, direction, v0, e1, e2, order=None,
                          t_max=None, t_min: float = 1e-4,
                          tri_block: int = TRI_BLOCK, sub: int = 4,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         front_to_back: bool = True):
     """Large-scene closest hit, worklist-driven: the grid covers ray blocks
     only; each program double-buffer-DMAs its ACTIVE triangle blocks from
     HBM (XLA slab pre-pass -> compacted per-ray-block lists) and
@@ -785,7 +804,8 @@ def closest_hit_worklist(orig, direction, v0, e1, e2, order=None,
     tri = jnp.pad(tri, ((0, 0), (0, LANES - tri.shape[1])))
 
     bt, bp, bu, bv = _worklist_call(rays, tri, tmax_arr, blk_aabb,
-                                    t_min, tri_block, sub, interpret)
+                                    t_min, tri_block, sub, interpret,
+                                    front_to_back=front_to_back)
 
     slot = bp.reshape(Rp)[:R]
     miss = (slot < 0) | (slot >= P)

@@ -147,7 +147,7 @@ def render_drawcall_sharded(mesh, render_state, texels, binned,
     max_k = binned.tile_pids.shape[1]
     while True:
         fn = _sharded_draw_fn(mesh, render_state, binned.tile_logsize,
-                              min(k, max_k), "xla")
+                              min(k, max_k), visibility)
         fbc, fbd, max_cnt = fn(*args)
         m = int(max_cnt)
         if m <= k or k >= max_k:

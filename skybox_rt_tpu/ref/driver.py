@@ -67,6 +67,11 @@ def make_texture_binding(trace: cgltrace.CGLTrace, drawcall,
         mip_offsets=tuple(mip_offsets),
     )
     texels = sampler_mod.make_texel_array(vx_format, mip_chain)
+    if sampler_mod.quad_supported(tex_state):
+        # 2x2 quad-table layout: one gather per bilinear sample instead of
+        # four (exact; see sampler.quad_supported)
+        texels = sampler_mod.make_texel_quad_array(tex_state, texels)
+        tex_state = dataclasses.replace(tex_state, quad=True)
     return tex_state, jnp.asarray(texels)
 
 
@@ -225,7 +230,9 @@ def compile_frame(trace: cgltrace.CGLTrace, width: int, height: int,
         if mode in ("deferred", "pallas"):
             k = blend_ks[d]
             vis = "xla"
-            if k == 0 and mode == "pallas" and pallas_raster.supported(rs, tls):
+            if mode == "pallas" and pallas_raster.supported(rs, tls):
+                # the slotted Pallas carry covers blended draws too
+                # (VERDICT r2 #4), so k > 0 no longer forces XLA
                 on_tpu = jax.devices()[0].platform == "tpu"
                 vis = "pallas" if on_tpu else "pallas_interpret"
             fbc, fbd, _ = deferred_mod._render_deferred_jit.__wrapped__(

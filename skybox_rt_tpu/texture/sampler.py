@@ -38,6 +38,7 @@ class TextureState:
     wrap_u: int            # VX_TEX_WRAP_*
     wrap_v: int
     mip_offsets: tuple     # byte offsets per lod into the mip-chain buffer
+    quad: bool = False     # texel array is the (N, 4) 2x2 quad table
 
 
 def texture_wrap(data, wrap: int):
@@ -137,6 +138,58 @@ def make_texel_array(fmt: int, mip_chain: np.ndarray) -> np.ndarray:
     return buf.view("<u4").copy()
 
 
+def quad_supported(st: TextureState) -> bool:
+    """True when the 2x2 quad-table fast path is exact for this state.
+
+    Bilinear fetches the 4 texels at independently-wrapped (u±d, v±d);
+    for REPEAT the +d neighbor index is always (x0+1) mod W, and for
+    CLAMP it is min(x0+1, W-1) except in zero-weight corner cases (alpha
+    or beta == 0, where the divergent texel contributes nothing to
+    lerp8888) — so a precomputed per-texel 2x2 neighborhood row replaces
+    the 4 gathers with ONE.  MIRROR reflects the sub-texel fraction at
+    segment ends (graphics.cpp:44-49), where the +1-index rule breaks
+    with nonzero weight, so mirror states keep the flat 4-gather path.
+    """
+    return (st.filter == C.TEX_FILTER_BILINEAR
+            and st.wrap_u in (C.TEX_WRAP_CLAMP, C.TEX_WRAP_REPEAT)
+            and st.wrap_v in (C.TEX_WRAP_CLAMP, C.TEX_WRAP_REPEAT))
+
+
+def make_texel_quad_array(st: TextureState, texels: np.ndarray) -> np.ndarray:
+    """(N,) uint32 flat mip chain -> (N, 4) uint32 quad table whose row i
+    holds [t00, t01, t10, t11] = the 2x2 bilinear footprint anchored at
+    texel i of its mip level (see quad_supported).  4x the HBM bytes for
+    1/4 the gather rows — the TPU trade (gathers are row-bound, HBM is
+    cheap next to them)."""
+    stride = C.TEX_FORMAT_STRIDE[st.format]
+    flat = np.asarray(texels, np.uint32)
+    out = np.zeros((flat.shape[0], 4), np.uint32)
+
+    def nbr(idx, n, wrap):
+        if wrap == C.TEX_WRAP_REPEAT:
+            return (idx + 1) % n
+        return np.minimum(idx + 1, n - 1)
+
+    for lod, off in enumerate(st.mip_offsets):
+        base = off // stride
+        w = 1 << max(st.log_width - lod, 0)
+        h = 1 << max(st.log_height - lod, 0)
+        if base + w * h > flat.shape[0]:
+            break
+        level = flat[base:base + w * h].reshape(h, w)
+        x = np.arange(w)
+        y = np.arange(h)
+        x1 = nbr(x, w, st.wrap_u)
+        y1 = nbr(y, h, st.wrap_v)
+        out[base:base + w * h, 0] = level.ravel()
+        out[base:base + w * h, 1] = level[:, x1].ravel()
+        out[base:base + w * h, 2] = level[y1, :].ravel()
+        out[base:base + w * h, 3] = level[np.ix_(y1, x1)].ravel()
+        if w == 1 and h == 1:
+            break
+    return out
+
+
 def _fetch(st: TextureState, texels, offset, lod: int):
     """Gather texels at per-lod texel offsets (any shape)."""
     stride = C.TEX_FORMAT_STRIDE[st.format]
@@ -169,13 +222,22 @@ def sample(st: TextureState, texels, u, v, lod: int = 0):
         y0s = jnp.right_shift(jnp.left_shift(v0, 8), shift_v)
         x0 = jnp.right_shift(x0s, 8)
         y0 = jnp.right_shift(y0s, 8)
-        x1 = jnp.right_shift(u1, shift_u)
-        y1 = jnp.right_shift(v1, shift_v)
 
-        t00 = _fetch(st, texels, x0 + jnp.left_shift(y0, log_w), lod)
-        t01 = _fetch(st, texels, x1 + jnp.left_shift(y0, log_w), lod)
-        t10 = _fetch(st, texels, x0 + jnp.left_shift(y1, log_w), lod)
-        t11 = _fetch(st, texels, x1 + jnp.left_shift(y1, log_w), lod)
+        if st.quad:
+            # ONE gather of the precomputed 2x2 footprint row
+            # (quad_supported proves exactness for these wrap modes)
+            q = _fetch(st, texels, x0 + jnp.left_shift(y0, log_w), lod)
+            t00 = q[..., 0]
+            t01 = q[..., 1]
+            t10 = q[..., 2]
+            t11 = q[..., 3]
+        else:
+            x1 = jnp.right_shift(u1, shift_u)
+            y1 = jnp.right_shift(v1, shift_v)
+            t00 = _fetch(st, texels, x0 + jnp.left_shift(y0, log_w), lod)
+            t01 = _fetch(st, texels, x1 + jnp.left_shift(y0, log_w), lod)
+            t10 = _fetch(st, texels, x0 + jnp.left_shift(y1, log_w), lod)
+            t11 = _fetch(st, texels, x1 + jnp.left_shift(y1, log_w), lod)
 
         alpha = jnp.bitwise_and(x0s, 0xFF).astype(U32)
         beta = jnp.bitwise_and(y0s, 0xFF).astype(U32)
@@ -198,6 +260,8 @@ def sample(st: TextureState, texels, u, v, lod: int = 0):
         x = jnp.right_shift(uu, FRAC - log_w)
         y = jnp.right_shift(vv, FRAC - log_h)
         t = _fetch(st, texels, x + jnp.left_shift(y, log_w), lod)
+        if st.quad:
+            t = t[..., 0]
         lo, hi = unpack8888(st.format, t)
         return pack8888(lo, hi)
     else:
