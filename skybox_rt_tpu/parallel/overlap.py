@@ -78,7 +78,10 @@ def bucketed_psum(tree, axis_name: str, n_buckets: int = 3):
 def count_all_reduces(text: str) -> int:
     """Number of all-reduce collectives in an HLO or StableHLO dump
     (async start/done pairs and tupled combiner outputs count once)."""
-    starts = len(re.findall(r"all-reduce-start", text))
+    # count DEFINITIONS only — each start is also referenced by name in
+    # its done instruction, so a bare substring count overcounts
+    starts = len(re.findall(
+        r"=\s*(?:\([^)]*\)|\S+)?\s*all-reduce-start\(", text))
     if starts:
         return starts
     hlo = len(re.findall(r"=\s*(?:\([^)]*\)|\S+)\s+all-reduce\(", text))
@@ -105,7 +108,10 @@ def collective_schedule_report(compiled_text: str) -> list:
         if m:
             starts[m.group(1).rstrip(" =")] = pos
             continue
-        m = re.search(r"all-reduce-done\(\s*(%?[\w.\-]+)", ln)
+        # operand is preceded by its (possibly tuple) type, e.g.
+        #   all-reduce-done((f32[1024]{0}, f32[1024]{0}) %ars.2)
+        # so capture the LAST %name before the closing paren
+        m = re.search(r"all-reduce-done\(.*(%[\w.\-]+)\)", ln)
         if m:
             key = m.group(1)
             if key in starts:

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 
 import jax.numpy as jnp
 import numpy as np
@@ -67,7 +68,8 @@ def make_texture_binding(trace: cgltrace.CGLTrace, drawcall,
         mip_offsets=tuple(mip_offsets),
     )
     texels = sampler_mod.make_texel_array(vx_format, mip_chain)
-    if sampler_mod.quad_supported(tex_state):
+    if (sampler_mod.quad_supported(tex_state)
+            and os.environ.get("SKYBOX_NO_QUAD", "0") != "1"):
         # 2x2 quad-table layout: one gather per bilinear sample instead of
         # four (exact; see sampler.quad_supported)
         texels = sampler_mod.make_texel_quad_array(tex_state, texels)
