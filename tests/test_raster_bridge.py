@@ -36,21 +36,43 @@ def test_rt_matches_raster(scene, size, min_match):
 
 
 @pytest.mark.parametrize("scene,size,min_match", [
-    ("triangle", 64, 0.999),
-    ("box", 64, 0.999),
-    ("tekkaman", 128, 0.995),
-    ("vase", 64, 0.99),
+    # tightened to 4/255 (VERDICT r2 #7) after the submission-order
+    # fragment-scan path landed; measured: triangle/box max diff 1/255,
+    # tekkaman 99.982 % within 4/255, vase 99.83 %
+    ("triangle", 64, 1.0),
+    ("box", 64, 1.0),
+    ("tekkaman", 128, 0.9995),
+    ("vase", 64, 0.995),
 ])
 def test_perspective_rt_matches_raster(scene, size, min_match):
     """VERDICT #10: rays from the REAL perspective eye implied by the
     clip-space vertices (not screen-space ortho), cross-validated
-    per-pixel against the bit-exact raster path.  Measured agreement is
-    tighter than the screen camera's (>= 99.88 % of pixels within 12/255
-    on all four scenes at these sizes)."""
-    frac, diff = _match_fraction(scene, size, camera="perspective")
+    per-pixel against the bit-exact raster path.  Non-extreme depth funcs
+    and blended draws run the exact submission-order fragment scan
+    (raster_bridge._scan_drawcall), so tolerance is 4/255, not 12/255."""
+    frac, diff = _match_fraction(scene, size, tol=4 / 255,
+                                 camera="perspective")
     assert frac >= min_match, (
         f"{scene}@{size}: only {frac:.4f} of pixels within tolerance "
         f"(max diff {diff.max():.3f})")
+
+
+def test_stencil_drawcall_raises():
+    """Stencil state is asserted-absent (VERDICT r2 #7): a drawcall with
+    stencil_test enabled raises unless on_stencil='skip'."""
+    import dataclasses
+
+    from skybox_rt_tpu.geom import cgltrace as cg
+    trace = cg.load_cached(cg.trace_path("triangle"))
+    dc0 = trace.drawcalls[0]
+    st = dataclasses.replace(dc0.states, stencil_test=True)
+    dc = dataclasses.replace(dc0, states=st)
+    bad = dataclasses.replace(trace, drawcalls=[dc])
+    with pytest.raises(NotImplementedError):
+        raster_bridge.render_trace_rt(bad, 16, 16, camera="perspective")
+    out = raster_bridge.render_trace_rt(bad, 16, 16, camera="perspective",
+                                        on_stencil="skip")
+    assert out.shape == (16, 16, 4)
 
 
 def test_perspective_engines_agree():
