@@ -65,8 +65,12 @@ def timed_loop(name, fn, *args, iters=ITERS):
                 args_b.append(a_b)
                 acc = acc + tok_b
             out = fn(*jax.tree.unflatten(jax.tree.structure(args), args_b))
-            lv = jax.tree.leaves(out)
-            tok2 = jnp.asarray(lv[0]).ravel()[0].astype(jnp.float32)
+            # keep EVERY output leaf live (grads included) — a token built
+            # from only the first leaf lets XLA dead-code-eliminate the
+            # whole backward pass (observed: stage 3 == stage 2)
+            tok2 = jnp.float32(0)
+            for l in jax.tree.leaves(out):
+                tok2 = tok2 + jnp.asarray(l).ravel()[0].astype(jnp.float32)
             return (tok2, acc), None
         (tok, acc), _ = jax.lax.scan(body, (jnp.float32(0), jnp.float32(0)),
                                      None, length=iters)

@@ -238,8 +238,24 @@ def _is_hard(cfg: DiffRenderConfig) -> bool:
     return (not cfg.alpha_blend) and cfg.soft_edge_temp == 0
 
 
+def _resolve_vis_engine(engine: str, tile_logsize: int) -> str:
+    """auto -> the Pallas winner kernel on TPU (measured 20.8 ms of the
+    31.7 ms/step at 512^2 goes to this pass on the XLA scan), the XLA
+    chunk scan elsewhere.  'pallas' off-TPU falls back to the Mosaic
+    interpreter (tests)."""
+    from . import pallas_vis
+    if engine == "auto":
+        if (pallas_vis.supported(tile_logsize)
+                and jax.devices()[0].platform == "tpu"):
+            return "pallas"
+        return "xla"
+    if engine == "pallas" and jax.devices()[0].platform != "tpu":
+        return "pallas_interpret"
+    return engine
+
+
 def visibility_slots(setup, tile_pids, origins, cfg: DiffRenderConfig,
-                     slots: int = 8):
+                     slots: int = 8, engine: str = "auto"):
     """K-slot visibility pass — NON-differentiable (the analog of the
     exact-int deferred pass 1, ops/deferred.py).
 
@@ -266,6 +282,13 @@ def visibility_slots(setup, tile_pids, origins, cfg: DiffRenderConfig,
     K = 1 if hard else slots
 
     if hard:
+        eng = _resolve_vis_engine(engine, cfg.tile_logsize)
+        if eng in ("pallas", "pallas_interpret"):
+            from . import pallas_vis
+            best_s = pallas_vis.visibility_hard(
+                edges, z, tile_pids, origins, cfg.tile_logsize,
+                cfg.depth_test, interpret=(eng == "pallas_interpret"))
+            return best_s[..., None], (best_s >= 0).astype(I32).max()
         # In hard mode the sequential write rule reduces to a pure
         # reduction: with depth test, the final write is the fragment with
         # the lexicographic-minimal (z, step) — strict `<` means the
@@ -363,6 +386,39 @@ def visibility_slots(setup, tile_pids, origins, cfg: DiffRenderConfig,
     return slot_steps, maxw.max()
 
 
+def _quad_texture(tex):
+    """(TH, TW, 4) -> (TH, TW, 4, 4): the 2x2 bilinear footprint anchored
+    at each texel, built from rolls (repeat wrap), so sampling needs ONE
+    row gather instead of four and its backward ONE scatter-add instead
+    of four (rolls transpose to rolls — no extra scatters).  The float
+    twin of texture.sampler.make_texel_quad_array."""
+    tx = jnp.roll(tex, -1, axis=1)
+    ty = jnp.roll(tex, -1, axis=0)
+    txy = jnp.roll(tx, -1, axis=0)
+    return jnp.stack([tex, tx, ty, txy], axis=2)
+
+
+def sample_texture_bilinear_quad(tex_quad, u, v):
+    """sample_texture_bilinear on a _quad_texture table — identical values
+    (t01/t10/t11 rows ARE the wrapped +1 neighbors), one gather."""
+    th, tw = tex_quad.shape[0], tex_quad.shape[1]
+    uu = (u % 1.0) * tw - 0.5
+    vv = (v % 1.0) * th - 0.5
+    x0 = jnp.floor(uu)
+    y0 = jnp.floor(vv)
+    fx = (uu - x0)[..., None]
+    fy = (vv - y0)[..., None]
+    x0i = jnp.mod(x0.astype(I32), tw)
+    y0i = jnp.mod(y0.astype(I32), th)
+    q = tex_quad.reshape(th * tw, 4, 4)[y0i * tw + x0i]
+    t00 = q[..., 0, :]
+    t01 = q[..., 1, :]
+    t10 = q[..., 2, :]
+    t11 = q[..., 3, :]
+    return ((t00 * (1 - fx) + t01 * fx) * (1 - fy)
+            + (t10 * (1 - fx) + t11 * fx) * fy)
+
+
 def shade_slots(setup, tile_pids, slot_steps, origins,
                 cfg: DiffRenderConfig):
     """Differentiable slot shading/composite — pass 2 of the deferred
@@ -371,13 +427,21 @@ def shade_slots(setup, tile_pids, slot_steps, origins,
     texture sampling and (soft) coverage weights are recomputed here from
     the *differentiable* setup, so gradients flow to pos/color/uv/texels
     with O(pixels*K) work and no sequential prim scan in the backward.
+
+    Per-prim data is packed into ONE (P, C) record array so each pixel
+    does a single gather row (and the backward a single scatter row)
+    instead of seven, and texels come from the rolled quad table
+    (_quad_texture) — one texel gather per bilinear sample.
     """
     ts = 1 << cfg.tile_logsize
     edges = setup["edges"]
-    c0, c1, c2 = setup["color"][:, 0], setup["color"][:, 1], setup["color"][:, 2]
+    P = edges.shape[0]
+    parts = [edges.reshape(P, 9),
+             setup["color"].reshape(P, 12)]
     if cfg.textured:
-        t0, t1, t2 = setup["uv"][:, 0], setup["uv"][:, 1], setup["uv"][:, 2]
-        tex = setup["tex"]
+        parts.append(setup["uv"].reshape(P, 6))
+        tex_quad = _quad_texture(setup["tex"])
+    rec = jnp.concatenate(parts, axis=1)            # (P, 21 | 27)
 
     def per_tile(pids, steps, origin):
         xs, ys = _tile_coords(ts, origin)
@@ -388,17 +452,22 @@ def shade_slots(setup, tile_pids, slot_steps, origins,
             s = steps[..., k]                       # (ts, ts) step index
             live = s >= 0
             p = pids[jnp.maximum(s, 0)]             # (ts, ts) prim ids
-            e = edges[p]                            # (ts, ts, 3, 3)
+            r = rec[p]                              # (ts, ts, C) ONE gather
+            e = r[..., :9].reshape(*p.shape, 3, 3)
             e0 = e[..., 0, 0] * xs + e[..., 0, 1] * ys + e[..., 0, 2]
             e1 = e[..., 1, 0] * xs + e[..., 1, 1] * ys + e[..., 1, 2]
             e2 = e[..., 2, 0] * xs + e[..., 2, 1] * ys + e[..., 2, 2]
             b0, b1, b2 = _barycentrics(e0, e1, e2)
-            col = (c0[p] * b0[..., None] + c1[p] * b1[..., None]
-                   + c2[p] * b2[..., None])
+            c = r[..., 9:21].reshape(*p.shape, 3, 4)
+            col = (c[..., 0, :] * b0[..., None] + c[..., 1, :] * b1[..., None]
+                   + c[..., 2, :] * b2[..., None])
             if cfg.textured:
-                uvp = (t0[p] * b0[..., None] + t1[p] * b1[..., None]
-                       + t2[p] * b2[..., None])
-                texel = sample_texture_bilinear(tex, uvp[..., 0], uvp[..., 1])
+                t = r[..., 21:27].reshape(*p.shape, 3, 2)
+                uvp = (t[..., 0, :] * b0[..., None]
+                       + t[..., 1, :] * b1[..., None]
+                       + t[..., 2, :] * b2[..., None])
+                texel = sample_texture_bilinear_quad(
+                    tex_quad, uvp[..., 0], uvp[..., 1])
                 col = col * texel if cfg.modulate else texel
             if cfg.soft_edge_temp > 0:
                 temp = F32(cfg.soft_edge_temp)
@@ -419,7 +488,8 @@ def shade_slots(setup, tile_pids, slot_steps, origins,
 
 
 def render_tile_set_deferred(setup, tile_pids, origins,
-                             cfg: DiffRenderConfig, slots: int = 8):
+                             cfg: DiffRenderConfig, slots: int = 8,
+                             engine: str = "auto"):
     """Deferred differentiable tile render: visibility + slot shading.
 
     Exact-equal to render_tile_set when slots >= the scene's max per-pixel
@@ -427,7 +497,7 @@ def render_tile_set_deferred(setup, tile_pids, origins,
     (tiles (T, ts, ts, 4), max_writes () i32 for overflow monitoring).
     """
     slot_steps, maxw = visibility_slots(setup, tile_pids, origins, cfg,
-                                        slots)
+                                        slots, engine=engine)
     return shade_slots(setup, tile_pids, slot_steps, origins, cfg), maxw
 
 
@@ -464,19 +534,22 @@ def _assemble(tiles, tile_xy, cfg: DiffRenderConfig):
     return canvas.transpose(0, 2, 1, 3, 4).reshape(Hp, Wp, 4)
 
 
-def render_deferred(params, static, cfg: DiffRenderConfig, slots: int = 8):
+def render_deferred(params, static, cfg: DiffRenderConfig, slots: int = 8,
+                    engine: str = "auto"):
     """Fast differentiable render (same contract as render()).
 
-    Two-pass: non-differentiable K-slot visibility (visibility_slots) +
-    differentiable slot shading (shade_slots).  Matches render() exactly
-    when slots covers the scene's per-pixel write count; hard mode (no
-    alpha blend, no edge softening) is always exact with its single
-    winner slot.  Returns (image, max_writes).
+    Two-pass: non-differentiable K-slot visibility (visibility_slots,
+    engine= selects the XLA scan or the Pallas winner kernel in hard
+    mode) + differentiable slot shading (shade_slots).  Matches render()
+    exactly when slots covers the scene's per-pixel write count; hard
+    mode (no alpha blend, no edge softening) is always exact with its
+    single winner slot.  Returns (image, max_writes).
     """
     ts = 1 << cfg.tile_logsize
     setup = prim_setup(params, static["indices"], cfg)
     tiles, maxw = render_tile_set_deferred(
-        setup, static["tile_pids"], static["tile_xy"] * ts, cfg, slots)
+        setup, static["tile_pids"], static["tile_xy"] * ts, cfg, slots,
+        engine=engine)
     return _assemble(tiles, static["tile_xy"], cfg), maxw
 
 
