@@ -1,0 +1,82 @@
+"""Pallas row-accumulation kernel: the texture-gradient transpose.
+
+The backward of a texel gather is a scatter-add of N per-pixel rows into
+the (R texels, C) gradient table.  XLA lowers that to a serialized
+per-update scatter (~38 ns/row measured: 10 of the 11.5 ms shade
+backward at 512^2 went to the tex grad).  On TPU the fast transpose is a
+ONE-HOT MATMUL: the grid walks pixel blocks sequentially (TPU grid
+steps are ordered, so VMEM accumulation is race-free by construction),
+each step builds the (R, BLK) one-hot of its pixels' row indices on the
+VPU and contracts it with the (BLK, C) value block on the MXU into a
+VMEM-resident (R, C) accumulator.
+
+Deterministic sum order (sequential over pixel blocks) — unlike XLA's
+scatter this gives run-to-run identical gradients.
+
+Bounded to small tables (R*C <= ~1 MB VMEM for the accumulator, R a
+sublane multiple); callers fall back to the XLA scatter above that
+(pipeline._accumulate_rows).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+BLK = 512          # pixels per grid step
+R_CHUNK = 1024     # one-hot row chunk (VMEM pressure: R_CHUNK*BLK*4 B)
+
+
+def supported(num_rows: int, num_cols: int) -> bool:
+    return (num_rows % 8 == 0 and num_rows * max(num_cols, 128) * 4
+            <= 4 * 1024 * 1024)
+
+
+def _kernel(idx_ref, val_ref, out_ref, *, num_rows):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    idx = idx_ref[...].reshape(1, BLK)
+    val = val_ref[...]
+    for r0 in range(0, num_rows, R_CHUNK):
+        rc = min(R_CHUNK, num_rows - r0)
+        rows = jax.lax.broadcasted_iota(I32, (rc, BLK), 0) + r0
+        onehot = (rows == idx).astype(F32)
+        out_ref[r0:r0 + rc, :] += jax.lax.dot_general(
+            onehot, val, (((1,), (0,)), ((), ())),
+            preferred_element_type=F32)
+
+
+@functools.partial(jax.jit, static_argnames=("num_rows", "interpret"))
+def accumulate_rows(idx, val, num_rows: int, interpret: bool = False):
+    """Σ over n of val[n] into row idx[n]: (N,) i32 + (N, C) f32 ->
+    (num_rows, C) f32.  Out-of-range idx rows are dropped (the one-hot
+    never matches)."""
+    N, C = val.shape
+    Np = -(-N // BLK) * BLK
+    idx = jnp.pad(jnp.asarray(idx, I32), (0, Np - N),
+                  constant_values=num_rows)          # padded rows -> no-op
+    val = jnp.pad(jnp.asarray(val, F32), ((0, Np - N), (0, 0)))
+    grid = Np // BLK
+    out = pl.pallas_call(
+        functools.partial(_kernel, num_rows=num_rows),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, BLK), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((num_rows, C), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_rows, C), F32),
+        interpret=interpret,
+    )(idx.reshape(grid, BLK), val)
+    return out

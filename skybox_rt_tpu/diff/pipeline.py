@@ -398,25 +398,81 @@ def _quad_texture(tex):
     return jnp.stack([tex, tx, ty, txy], axis=2)
 
 
-def sample_texture_bilinear_quad(tex_quad, u, v):
-    """sample_texture_bilinear on a _quad_texture table — identical values
-    (t01/t10/t11 rows ARE the wrapped +1 neighbors), one gather."""
+def _quad_sample_prep(tex_quad, u, v):
     th, tw = tex_quad.shape[0], tex_quad.shape[1]
     uu = (u % 1.0) * tw - 0.5
     vv = (v % 1.0) * th - 0.5
     x0 = jnp.floor(uu)
     y0 = jnp.floor(vv)
-    fx = (uu - x0)[..., None]
-    fy = (vv - y0)[..., None]
+    fx = uu - x0
+    fy = vv - y0
     x0i = jnp.mod(x0.astype(I32), tw)
     y0i = jnp.mod(y0.astype(I32), th)
-    q = tex_quad.reshape(th * tw, 4, 4)[y0i * tw + x0i]
-    t00 = q[..., 0, :]
-    t01 = q[..., 1, :]
-    t10 = q[..., 2, :]
-    t11 = q[..., 3, :]
-    return ((t00 * (1 - fx) + t01 * fx) * (1 - fy)
-            + (t10 * (1 - fx) + t11 * fx) * fy)
+    idx = y0i * tw + x0i
+    q = tex_quad.reshape(th * tw, 4, 4)[idx]
+    return q, idx, fx, fy
+
+
+def _quad_lerp(q, fx, fy):
+    fxe = fx[..., None]
+    fye = fy[..., None]
+    return ((q[..., 0, :] * (1 - fxe) + q[..., 1, :] * fxe) * (1 - fye)
+            + (q[..., 2, :] * (1 - fxe) + q[..., 3, :] * fxe) * fye)
+
+
+def _accumulate_rows(idx, val, num_rows: int):
+    """Scatter-add transpose Σ val[n] -> row idx[n].  On TPU with a
+    small table this is the Pallas one-hot-matmul accumulator (measured:
+    the XLA scatter costs ~10 of the 11.5 ms shade backward at 512^2);
+    elsewhere the XLA scatter."""
+    from . import pallas_texgrad
+    if (jax.devices()[0].platform == "tpu"
+            and pallas_texgrad.supported(num_rows, val.shape[-1])):
+        return pallas_texgrad.accumulate_rows(idx, val, num_rows)
+    return jnp.zeros((num_rows, val.shape[-1]), F32).at[idx].add(val)
+
+
+@jax.custom_vjp
+def sample_texture_bilinear_quad(tex_quad, u, v):
+    """sample_texture_bilinear on a _quad_texture table — identical values
+    (t01/t10/t11 rows ARE the wrapped +1 neighbors), one gather.  The
+    hand-written VJP routes the texel-table gradient through
+    _accumulate_rows instead of autodiff's serialized scatter-add."""
+    q, _, fx, fy = _quad_sample_prep(tex_quad, u, v)
+    return _quad_lerp(q, fx, fy)
+
+
+def _quad_sample_fwd(tex_quad, u, v):
+    q, idx, fx, fy = _quad_sample_prep(tex_quad, u, v)
+    return _quad_lerp(q, fx, fy), (tex_quad, idx, fx, fy)
+
+
+def _quad_sample_bwd(res, g):
+    tex_quad, idx, fx, fy = res
+    th, tw = tex_quad.shape[0], tex_quad.shape[1]
+    q = tex_quad.reshape(th * tw, 4, 4)[idx]         # regather (cheap)
+    fxe = fx[..., None]
+    fye = fy[..., None]
+    t00, t01 = q[..., 0, :], q[..., 1, :]
+    t10, t11 = q[..., 2, :], q[..., 3, :]
+    # d/dfx, d/dfy of the lerp; chain through fx = frac((u%1)*tw - .5)
+    # (d frac/d u = tw a.e., floor/mod contribute identity — the same
+    # almost-everywhere rule autodiff applies to the original sampler)
+    dfx = jnp.sum(g * ((t01 - t00) * (1 - fye) + (t11 - t10) * fye), -1)
+    dfy = jnp.sum(g * ((t10 - t00) * (1 - fxe) + (t11 - t01) * fxe), -1)
+    du = dfx * tw
+    dv = dfy * th
+    w00 = (1 - fx) * (1 - fy)
+    w01 = fx * (1 - fy)
+    w10 = (1 - fx) * fy
+    w11 = fx * fy
+    V = jnp.concatenate([w[..., None] * g
+                         for w in (w00, w01, w10, w11)], axis=-1)
+    dtq = _accumulate_rows(idx.reshape(-1), V.reshape(-1, 16), th * tw)
+    return dtq.reshape(th, tw, 4, 4), du, dv
+
+
+sample_texture_bilinear_quad.defvjp(_quad_sample_fwd, _quad_sample_bwd)
 
 
 def shade_slots(setup, tile_pids, slot_steps, origins,
@@ -443,48 +499,55 @@ def shade_slots(setup, tile_pids, slot_steps, origins,
         tex_quad = _quad_texture(setup["tex"])
     rec = jnp.concatenate(parts, axis=1)            # (P, 21 | 27)
 
-    def per_tile(pids, steps, origin):
-        xs, ys = _tile_coords(ts, origin)
-        fb_rgba = jnp.broadcast_to(
-            jnp.asarray(cfg.background, F32), (ts, ts, 4)).astype(F32)
-        K = steps.shape[-1]
-        for k in range(K):
-            s = steps[..., k]                       # (ts, ts) step index
-            live = s >= 0
-            p = pids[jnp.maximum(s, 0)]             # (ts, ts) prim ids
-            r = rec[p]                              # (ts, ts, C) ONE gather
-            e = r[..., :9].reshape(*p.shape, 3, 3)
-            e0 = e[..., 0, 0] * xs + e[..., 0, 1] * ys + e[..., 0, 2]
-            e1 = e[..., 1, 0] * xs + e[..., 1, 1] * ys + e[..., 1, 2]
-            e2 = e[..., 2, 0] * xs + e[..., 2, 1] * ys + e[..., 2, 2]
-            b0, b1, b2 = _barycentrics(e0, e1, e2)
-            c = r[..., 9:21].reshape(*p.shape, 3, 4)
-            col = (c[..., 0, :] * b0[..., None] + c[..., 1, :] * b1[..., None]
-                   + c[..., 2, :] * b2[..., None])
-            if cfg.textured:
-                t = r[..., 21:27].reshape(*p.shape, 3, 2)
-                uvp = (t[..., 0, :] * b0[..., None]
-                       + t[..., 1, :] * b1[..., None]
-                       + t[..., 2, :] * b2[..., None])
-                texel = sample_texture_bilinear_quad(
-                    tex_quad, uvp[..., 0], uvp[..., 1])
-                col = col * texel if cfg.modulate else texel
-            if cfg.soft_edge_temp > 0:
-                temp = F32(cfg.soft_edge_temp)
-                d = jnp.minimum(jnp.minimum(e0, e1), e2)
-                cov_w = jnp.where(live, jax.nn.sigmoid(d / temp), 0.0)
-            else:
-                cov_w = live.astype(F32)
-            if cfg.alpha_blend:
-                a = col[..., 3:4] * cov_w[..., None]
-                new_rgba = col * a + fb_rgba * (1.0 - a)
-            else:
-                new_rgba = (col * cov_w[..., None]
-                            + fb_rgba * (1.0 - cov_w[..., None]))
-            fb_rgba = jnp.where(live[..., None], new_rgba, fb_rgba)
-        return fb_rgba
-
-    return jax.vmap(per_tile)(tile_pids, slot_steps, origins)
+    # batched over tiles WITHOUT vmap: every op below is a plain batched
+    # gather/elementwise, and the custom-vjp texture sampler must see the
+    # full (T, ts, ts) batch so its backward runs the accumulation kernel
+    # once (not per-tile under a vmap batching rule)
+    T = tile_pids.shape[0]
+    ys = (jax.lax.broadcasted_iota(I32, (1, ts, ts), 1)
+          + origins[:, 1][:, None, None]).astype(F32)
+    xs = (jax.lax.broadcasted_iota(I32, (1, ts, ts), 2)
+          + origins[:, 0][:, None, None]).astype(F32)
+    fb_rgba = jnp.broadcast_to(
+        jnp.asarray(cfg.background, F32), (T, ts, ts, 4)).astype(F32)
+    K = slot_steps.shape[-1]
+    for k in range(K):
+        s = slot_steps[..., k]                      # (T, ts, ts)
+        live = s >= 0
+        p = jnp.take_along_axis(
+            tile_pids, jnp.maximum(s, 0).reshape(T, -1), axis=1
+        ).reshape(s.shape)                          # (T, ts, ts) prim ids
+        r = rec[p]                                  # ONE gather row/pixel
+        e = r[..., :9].reshape(*p.shape, 3, 3)
+        e0 = e[..., 0, 0] * xs + e[..., 0, 1] * ys + e[..., 0, 2]
+        e1 = e[..., 1, 0] * xs + e[..., 1, 1] * ys + e[..., 1, 2]
+        e2 = e[..., 2, 0] * xs + e[..., 2, 1] * ys + e[..., 2, 2]
+        b0, b1, b2 = _barycentrics(e0, e1, e2)
+        c = r[..., 9:21].reshape(*p.shape, 3, 4)
+        col = (c[..., 0, :] * b0[..., None] + c[..., 1, :] * b1[..., None]
+               + c[..., 2, :] * b2[..., None])
+        if cfg.textured:
+            t = r[..., 21:27].reshape(*p.shape, 3, 2)
+            uvp = (t[..., 0, :] * b0[..., None]
+                   + t[..., 1, :] * b1[..., None]
+                   + t[..., 2, :] * b2[..., None])
+            texel = sample_texture_bilinear_quad(
+                tex_quad, uvp[..., 0], uvp[..., 1])
+            col = col * texel if cfg.modulate else texel
+        if cfg.soft_edge_temp > 0:
+            temp = F32(cfg.soft_edge_temp)
+            d = jnp.minimum(jnp.minimum(e0, e1), e2)
+            cov_w = jnp.where(live, jax.nn.sigmoid(d / temp), 0.0)
+        else:
+            cov_w = live.astype(F32)
+        if cfg.alpha_blend:
+            a = col[..., 3:4] * cov_w[..., None]
+            new_rgba = col * a + fb_rgba * (1.0 - a)
+        else:
+            new_rgba = (col * cov_w[..., None]
+                        + fb_rgba * (1.0 - cov_w[..., None]))
+        fb_rgba = jnp.where(live[..., None], new_rgba, fb_rgba)
+    return fb_rgba
 
 
 def render_tile_set_deferred(setup, tile_pids, origins,
