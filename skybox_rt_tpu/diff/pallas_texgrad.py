@@ -39,18 +39,21 @@ def supported(num_rows: int, num_cols: int) -> bool:
 
 
 def _kernel(idx_ref, val_ref, out_ref, *, num_rows):
+    """Pixels ride the SUBLANE axis (Mosaic needs sublane blocks of 8n):
+    idx is a (BLK, 1) column that lane-broadcasts against the texel-row
+    iota, and the contraction runs over sublanes on both dot operands."""
     @pl.when(pl.program_id(0) == 0)
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    idx = idx_ref[...].reshape(1, BLK)
-    val = val_ref[...]
+    idx = idx_ref[...]                               # (BLK, 1) i32
+    val = val_ref[...]                               # (BLK, C) f32
     for r0 in range(0, num_rows, R_CHUNK):
         rc = min(R_CHUNK, num_rows - r0)
-        rows = jax.lax.broadcasted_iota(I32, (rc, BLK), 0) + r0
-        onehot = (rows == idx).astype(F32)
+        rows = jax.lax.broadcasted_iota(I32, (BLK, rc), 1) + r0
+        onehot = (rows == idx).astype(F32)           # (BLK, rc)
         out_ref[r0:r0 + rc, :] += jax.lax.dot_general(
-            onehot, val, (((1,), (0,)), ((), ())),
+            onehot, val, (((0,), (0,)), ((), ())),
             preferred_element_type=F32)
 
 
@@ -69,7 +72,7 @@ def accumulate_rows(idx, val, num_rows: int, interpret: bool = False):
         functools.partial(_kernel, num_rows=num_rows),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((1, BLK), lambda i: (i, 0),
+            pl.BlockSpec((BLK, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BLK, C), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -78,5 +81,5 @@ def accumulate_rows(idx, val, num_rows: int, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((num_rows, C), F32),
         interpret=interpret,
-    )(idx.reshape(grid, BLK), val)
+    )(idx.reshape(Np, 1), val)
     return out

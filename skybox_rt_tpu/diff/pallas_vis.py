@@ -61,7 +61,11 @@ def pack_prim_records(edges, z, tile_pids):
     return out.at[:, :, 12].set(valid)
 
 
-def _make_kernel(tile_logsize: int, num_prims: int, depth_test: bool):
+GROUP = 8          # tiles per grid step (amortizes per-step grid overhead)
+
+
+def _make_kernel(tile_logsize: int, num_prims: int, depth_test: bool,
+                 group: int):
     ts = 1 << tile_logsize
     ns = (ts * ts) // LANES
 
@@ -71,38 +75,40 @@ def _make_kernel(tile_logsize: int, num_prims: int, depth_test: bool):
         xl = jnp.bitwise_and(idx, ts - 1).astype(F32)
         yl = jnp.right_shift(idx, tile_logsize).astype(F32)
 
-        t = pl.program_id(0)
-        ox = origin_ref[t, 0].astype(F32)
-        oy = origin_ref[t, 1].astype(F32)
-        xs = xl + ox
-        ys = yl + oy
+        g = pl.program_id(0)
+        for i in range(group):                       # group tiles per step
+            t = g * group + i
+            ox = origin_ref[t, 0].astype(F32)
+            oy = origin_ref[t, 1].astype(F32)
+            xs = xl + ox
+            ys = yl + oy
 
-        step_ref[0] = jnp.full((ns, LANES), -1, I32)
+            step_ref[i] = jnp.full((ns, LANES), -1, I32)
 
-        def body(s, best_z):
-            r = prim_ref[0, s]                       # (16,) record row
-            valid = r[12] > 0
-            e0 = r[0] * xs + r[1] * ys + r[2]
-            e1 = r[3] * xs + r[4] * ys + r[5]
-            e2 = r[6] * xs + r[7] * ys + r[8]
-            inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & valid
-            if depth_test:
-                # identical float expressions to pipeline._barycentrics
-                den = e0 + e1 + e2
-                denom = jnp.where(jnp.abs(den) > 1e-20, den, 1e-20)
-                b0 = e0 / denom
-                b1 = e1 / denom
-                b2 = 1.0 - b0 - b1
-                zp = r[9] * b0 + r[10] * b1 + r[11] * b2
-                upd = inside & (zp < best_z)
-                best_z = jnp.where(upd, zp, best_z)
-            else:
-                upd = inside
-            step_ref[0] = jnp.where(upd, s, step_ref[0])
-            return best_z
+            def body(s, best_z, i=i, xs=xs, ys=ys):
+                r = prim_ref[i, s]                   # (16,) record row
+                valid = r[12] > 0
+                e0 = r[0] * xs + r[1] * ys + r[2]
+                e1 = r[3] * xs + r[4] * ys + r[5]
+                e2 = r[6] * xs + r[7] * ys + r[8]
+                inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & valid
+                if depth_test:
+                    # identical float expressions to pipeline._barycentrics
+                    den = e0 + e1 + e2
+                    denom = jnp.where(jnp.abs(den) > 1e-20, den, 1e-20)
+                    b0 = e0 / denom
+                    b1 = e1 / denom
+                    b2 = 1.0 - b0 - b1
+                    zp = r[9] * b0 + r[10] * b1 + r[11] * b2
+                    upd = inside & (zp < best_z)
+                    best_z = jnp.where(upd, zp, best_z)
+                else:
+                    upd = inside
+                step_ref[i] = jnp.where(upd, s, step_ref[i])
+                return best_z
 
-        jax.lax.fori_loop(0, num_prims, body,
-                          jnp.full((ns, LANES), jnp.inf, F32))
+            jax.lax.fori_loop(0, num_prims, body,
+                              jnp.full((ns, LANES), jnp.inf, F32))
 
     return kernel
 
@@ -114,23 +120,29 @@ def _vis_call(prim_records, origins, *, tile_logsize, depth_test,
     T, M, _ = prim_records.shape
     ts = 1 << tile_logsize
     ns = (ts * ts) // LANES
-    kernel = _make_kernel(tile_logsize, M, depth_test)
-    tile_spec = pl.BlockSpec((1, ns, LANES), lambda t, _: (t, 0, 0),
-                             memory_space=pltpu.VMEM)
+    GB = GROUP
+    Tp = -(-T // GB) * GB
+    if Tp != T:                                     # pad: valid=0 -> all -1
+        prim_records = jnp.concatenate(
+            [prim_records, jnp.zeros((Tp - T, M, 16), F32)], axis=0)
+        origins = jnp.concatenate(
+            [origins, jnp.zeros((Tp - T, 2), origins.dtype)], axis=0)
+    kernel = _make_kernel(tile_logsize, M, depth_test, GB)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,           # origins (T, 2) live in SMEM
-        grid=(T,),
-        in_specs=[pl.BlockSpec((1, M, 16), lambda t, _: (t, 0, 0),
+        num_scalar_prefetch=1,           # origins (Tp, 2) live in SMEM
+        grid=(Tp // GB,),
+        in_specs=[pl.BlockSpec((GB, M, 16), lambda t, _: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=tile_spec,
+        out_specs=pl.BlockSpec((GB, ns, LANES), lambda t, _: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, ns, LANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Tp, ns, LANES), jnp.int32),
         interpret=interpret,
     )(origins.astype(I32), prim_records.astype(F32))
-    return out.reshape(T, ts, ts)
+    return out[:T].reshape(T, ts, ts)
 
 
 def visibility_hard(edges, z, tile_pids, origins, tile_logsize: int,

@@ -30,6 +30,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 F32 = jnp.float32
 I32 = jnp.int32
@@ -433,6 +434,27 @@ def _accumulate_rows(idx, val, num_rows: int):
 
 
 @jax.custom_vjp
+def gather_rows(table, idx):
+    """table[(P, C)][idx] with the gather transpose routed through
+    _accumulate_rows (the autodiff scatter-add serializes on TPU)."""
+    return table[idx]
+
+
+def _gather_rows_fwd(table, idx):
+    return table[idx], (table, idx)
+
+
+def _gather_rows_bwd(res, g):
+    table, idx = res
+    R, C = table.shape
+    d = _accumulate_rows(idx.reshape(-1), g.reshape(-1, C), R)
+    return d, np.zeros(idx.shape, jax.dtypes.float0)
+
+
+gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
+@jax.custom_vjp
 def sample_texture_bilinear_quad(tex_quad, u, v):
     """sample_texture_bilinear on a _quad_texture table — identical values
     (t01/t10/t11 rows ARE the wrapped +1 neighbors), one gather.  The
@@ -517,7 +539,7 @@ def shade_slots(setup, tile_pids, slot_steps, origins,
         p = jnp.take_along_axis(
             tile_pids, jnp.maximum(s, 0).reshape(T, -1), axis=1
         ).reshape(s.shape)                          # (T, ts, ts) prim ids
-        r = rec[p]                                  # ONE gather row/pixel
+        r = gather_rows(rec, p)                     # ONE gather row/pixel
         e = r[..., :9].reshape(*p.shape, 3, 3)
         e0 = e[..., 0, 0] * xs + e[..., 0, 1] * ys + e[..., 0, 2]
         e1 = e[..., 1, 0] * xs + e[..., 1, 1] * ys + e[..., 1, 2]
