@@ -97,13 +97,16 @@ def main():
     print(f"tiles={tile_pids.shape[0]} M={tile_pids.shape[1]}", flush=True)
     target = jnp.zeros((SIZE, SIZE, 4), jnp.float32)
 
-    # 1. visibility only
-    def vis_only(params):
-        setup = pipeline.prim_setup(params, static["indices"], cfg)
-        slots, maxw = pipeline.visibility_slots(setup, tile_pids, origins,
-                                                cfg, 8)
-        return slots.astype(jnp.float32).sum() + maxw.astype(jnp.float32)
-    timed_loop("1 visibility fwd   ", vis_only, params)
+    # 1. visibility only — both engines, same window (auto picks pallas
+    # on TPU; the vectorized XLA reduction is the contender)
+    for eng in ("pallas", "xla"):
+        def vis_only(params, eng=eng):
+            setup = pipeline.prim_setup(params, static["indices"], cfg)
+            slots, maxw = pipeline.visibility_slots(
+                setup, tile_pids, origins, cfg, 8, engine=eng)
+            return (slots.astype(jnp.float32).sum()
+                    + maxw.astype(jnp.float32))
+        timed_loop(f"1 visibility[{eng:6s}]", vis_only, params)
 
     # fixed slots for the shade-only stages
     setup0 = pipeline.prim_setup(params, static["indices"], cfg)
