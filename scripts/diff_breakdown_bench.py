@@ -97,9 +97,10 @@ def main():
     print(f"tiles={tile_pids.shape[0]} M={tile_pids.shape[1]}", flush=True)
     target = jnp.zeros((SIZE, SIZE, 4), jnp.float32)
 
-    # 1. visibility only — both engines, same window (auto picks pallas
-    # on TPU; the vectorized XLA reduction is the contender)
-    for eng in ("pallas", "xla"):
+    # 1. visibility only.  (The pallas arm was measured 8.76 vs xla 3.86
+    # in one window — see PERF.md; its ~7 min Mosaic tunnel compile isn't
+    # worth re-paying every run, so time the default engine only.)
+    for eng in ("xla",):
         def vis_only(params, eng=eng):
             setup = pipeline.prim_setup(params, static["indices"], cfg)
             slots, maxw = pipeline.visibility_slots(

@@ -470,6 +470,37 @@ gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
 @jax.custom_vjp
+def gather_tile_rows(table, idx):
+    """Per-tile row gather: table (T, M, C)[t, idx[t, ...]] -> (T, ..., C).
+
+    The transpose is a batched one-hot matmul over the SMALL per-tile
+    prim axis M (einsum on the MXU) — two-level accumulation: pixels ->
+    tile slots here, tile slots -> global prim rows via gather_rows.
+    ~50x fewer one-hot FLOPs than a global-prim-axis accumulation."""
+    T, M, C = table.shape
+    return jnp.take_along_axis(
+        table, idx.reshape(T, -1)[..., None], axis=1
+    ).reshape(*idx.shape, C)
+
+
+def _gather_tile_rows_fwd(table, idx):
+    return gather_tile_rows(table, idx), (table, idx)
+
+
+def _gather_tile_rows_bwd(res, g):
+    table, idx = res
+    T, M, C = table.shape
+    gi = g.reshape(T, -1, C)
+    onehot = (idx.reshape(T, -1)[..., None]
+              == jnp.arange(M, dtype=idx.dtype)[None, None]).astype(g.dtype)
+    d = jnp.einsum("tnm,tnc->tmc", onehot, gi)
+    return d, np.zeros(idx.shape, jax.dtypes.float0)
+
+
+gather_tile_rows.defvjp(_gather_tile_rows_fwd, _gather_tile_rows_bwd)
+
+
+@jax.custom_vjp
 def sample_texture_bilinear_quad(tex_quad, u, v):
     """sample_texture_bilinear on a _quad_texture table — identical values
     (t01/t10/t11 rows ARE the wrapped +1 neighbors), one gather.  The
@@ -541,6 +572,10 @@ def shade_slots(setup, tile_pids, slot_steps, origins,
     # full (T, ts, ts) batch so its backward runs the accumulation kernel
     # once (not per-tile under a vmap batching rule)
     T = tile_pids.shape[0]
+    # two-level record access: global rows -> per-tile table (its
+    # transpose is a tiny 17k-row accumulation), then slot-index gather
+    # per pixel (transpose = batched one-hot matmul over M)
+    rec_tile = gather_rows(rec, jnp.maximum(tile_pids, 0))  # (T, M, C)
     ys = (jax.lax.broadcasted_iota(I32, (1, ts, ts), 1)
           + origins[:, 1][:, None, None]).astype(F32)
     xs = (jax.lax.broadcasted_iota(I32, (1, ts, ts), 2)
@@ -551,10 +586,8 @@ def shade_slots(setup, tile_pids, slot_steps, origins,
     for k in range(K):
         s = slot_steps[..., k]                      # (T, ts, ts)
         live = s >= 0
-        p = jnp.take_along_axis(
-            tile_pids, jnp.maximum(s, 0).reshape(T, -1), axis=1
-        ).reshape(s.shape)                          # (T, ts, ts) prim ids
-        r = gather_rows(rec, p)                     # ONE gather row/pixel
+        r = gather_tile_rows(rec_tile, jnp.maximum(s, 0))  # 1 row/pixel
+        p = s                                       # shapes only below
         e = r[..., :9].reshape(*p.shape, 3, 3)
         e0 = e[..., 0, 0] * xs + e[..., 0, 1] * ys + e[..., 0, 2]
         e1 = e[..., 1, 0] * xs + e[..., 1, 1] * ys + e[..., 1, 2]
