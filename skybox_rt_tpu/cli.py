@@ -154,6 +154,10 @@ def build_parser() -> argparse.ArgumentParser:
                                      "(perf/graphics/run.sh analog)")
     s.add_argument("-w", "--width", type=int, default=256)
     s.add_argument("--iters", type=int, default=10)
+    s.add_argument("--artifact", default=None, metavar="PATH",
+                   help="also append driver-shaped JSON lines "
+                        "({metric, value, unit, vs_baseline} per mesh "
+                        "size) so a multi-chip run records turnkey")
     s.set_defaults(fn=_cmd_scale)
 
     t = sub.add_parser("rt", help="ray-trace a procedural scene")
@@ -280,6 +284,20 @@ def _cmd_scale(args) -> int:
 
     results = scaling.measure(size=args.width, iters=args.iters)
     print(json.dumps({str(k): v for k, v in results.items()}, indent=1))
+    if args.artifact:
+        # BENCH_r*.json-shaped lines (one per mesh size): vs_baseline is
+        # scaling efficiency vs the 1-device arm — the north-star >=0.8
+        # acceptance reads straight off the artifact
+        with open(args.artifact, "a") as f:
+            for n, r in results.items():
+                f.write(json.dumps({
+                    "metric": f"train_step_{args.width}x{args.width}"
+                              f"_mesh{n}",
+                    "value": round(r["ms"], 3),
+                    "unit": "ms/step",
+                    "vs_baseline": round(r["efficiency"], 3),
+                }) + "\n")
+        print(f"wrote {args.artifact}")
     return 0
 
 

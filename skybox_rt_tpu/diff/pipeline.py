@@ -115,8 +115,12 @@ def sample_texture_bilinear(tex, u, v):
     t11 = tex[y1i, x1i]
     fx = fx[..., None]
     fy = fy[..., None]
-    return ((t00 * (1 - fx) + t01 * fx) * (1 - fy)
-            + (t10 * (1 - fx) + t11 * fx) * fy)
+    # fma-form lerps (a + f*(b-a)): 2 ops per lerp instead of 3; the quad
+    # sampler (_quad_lerp) MUST use the identical form — the deferred
+    # pipeline's exact-equality tests compare the two
+    cx0 = t00 + fx * (t01 - t00)
+    cx1 = t10 + fx * (t11 - t10)
+    return cx0 + fy * (cx1 - cx0)
 
 
 def prim_setup(params, indices, cfg: DiffRenderConfig):
@@ -127,21 +131,27 @@ def prim_setup(params, indices, cfg: DiffRenderConfig):
     """
     pos = params["pos"]
     color = params["color"]
-    i0, i1, i2 = indices[:, 0], indices[:, 1], indices[:, 2]
-    hdc = clip_to_hdc(pos, cfg)
-    p0 = tuple(h[i0] for h in hdc)
-    p1 = tuple(h[i1] for h in hdc)
-    p2 = tuple(h[i2] for h in hdc)
-    edges = edge_matrix(p0, p1, p2)               # (P, 3, 3)
-    z = screen_z(pos, cfg)
+    P = indices.shape[0]
+    # gather vertex ROWS once per corner (gather_rows routes the
+    # transpose through the accumulation kernel instead of autodiff's
+    # scatter), then run the elementwise clip math on the gathered copies
+    # — same per-vertex float results, no per-element gathers
+    iall = jnp.concatenate([indices[:, 0], indices[:, 1], indices[:, 2]])
+    pos3 = gather_rows(pos, iall).reshape(3, P, 4)
+    hdc0 = clip_to_hdc(pos3[0], cfg)
+    hdc1 = clip_to_hdc(pos3[1], cfg)
+    hdc2 = clip_to_hdc(pos3[2], cfg)
+    edges = edge_matrix(hdc0, hdc1, hdc2)         # (P, 3, 3)
+    color3 = gather_rows(color, iall).reshape(3, P, 4)
     setup = {
         "edges": edges,
-        "z": jnp.stack([z[i0], z[i1], z[i2]], 1),          # (P, 3)
-        "color": jnp.stack([color[i0], color[i1], color[i2]], 1),  # (P,3,4)
+        "z": jnp.stack([screen_z(pos3[0], cfg), screen_z(pos3[1], cfg),
+                        screen_z(pos3[2], cfg)], 1),       # (P, 3)
+        "color": jnp.stack([color3[0], color3[1], color3[2]], 1),  # (P,3,4)
     }
     if cfg.textured:
-        uv = params["uv"]
-        setup["uv"] = jnp.stack([uv[i0], uv[i1], uv[i2]], 1)       # (P,3,2)
+        uv3 = gather_rows(params["uv"], iall).reshape(3, P, 2)
+        setup["uv"] = jnp.stack([uv3[0], uv3[1], uv3[2]], 1)       # (P,3,2)
         setup["tex"] = params["tex"]
     return setup
 
@@ -432,8 +442,10 @@ def _quad_sample_prep(tex_quad, u, v):
 def _quad_lerp(q, fx, fy):
     fxe = fx[..., None]
     fye = fy[..., None]
-    return ((q[..., 0, :] * (1 - fxe) + q[..., 1, :] * fxe) * (1 - fye)
-            + (q[..., 2, :] * (1 - fxe) + q[..., 3, :] * fxe) * fye)
+    # same fma-form as sample_texture_bilinear (exact-equality contract)
+    cx0 = q[..., 0, :] + fxe * (q[..., 1, :] - q[..., 0, :])
+    cx1 = q[..., 2, :] + fxe * (q[..., 3, :] - q[..., 2, :])
+    return cx0 + fye * (cx1 - cx0)
 
 
 def _accumulate_rows(idx, val, num_rows: int):
