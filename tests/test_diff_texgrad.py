@@ -13,15 +13,23 @@ import pytest
 from skybox_rt_tpu.diff import pallas_texgrad, pipeline
 
 
-def test_accumulate_rows_matches_scatter():
+@pytest.mark.parametrize("split_bf16", [False, True])
+def test_accumulate_rows_matches_scatter(split_bf16):
     rng = np.random.default_rng(0)
     N, R, C = 3000, 256, 16
     idx = jnp.asarray(rng.integers(0, R, N).astype(np.int32))
     val = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32))
     want = np.zeros((R, C), np.float32)
     np.add.at(want, np.asarray(idx), np.asarray(val))
-    got = pallas_texgrad.accumulate_rows(idx, val, R, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+    got = pallas_texgrad.accumulate_rows(idx, val, R, interpret=True,
+                                         split_bf16=split_bf16)
+    if split_bf16:
+        # default mode: hi+lo bf16 split -> |err| <= ~2^-16 per element
+        np.testing.assert_allclose(np.asarray(got), want, atol=5e-4,
+                                   rtol=1e-2)
+    else:
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5,
+                                   atol=1e-5)
 
 
 def test_accumulate_rows_drops_out_of_range():
