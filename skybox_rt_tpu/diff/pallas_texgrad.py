@@ -45,8 +45,9 @@ def _kernel(idx_ref, val_ref, out_ref, *, num_rows, split_bf16):
 
     split_bf16: the one-hot is exact in bf16 (0/1) and the values split
     as v = hi + lo with |err| <= 2^-16 |v| per element; two bf16 MXU
-    passes with f32 accumulation run ~4x the f32 rate (the f32 kernel
-    measured FLOP-bound at ~10 TFLOP/s)."""
+    passes with f32 accumulation.  Measured slower than the single f32
+    dot on v5e at these shapes (layout-bound, not FLOP-bound) — kept as
+    an option for larger C."""
     @pl.when(pl.program_id(0) == 0)
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
@@ -77,11 +78,13 @@ def _kernel(idx_ref, val_ref, out_ref, *, num_rows, split_bf16):
 @functools.partial(jax.jit, static_argnames=("num_rows", "interpret",
                                              "split_bf16"))
 def accumulate_rows(idx, val, num_rows: int, interpret: bool = False,
-                    split_bf16: bool = True):
+                    split_bf16: bool = False):
     """Σ over n of val[n] into row idx[n]: (N,) i32 + (N, C) f32 ->
     (num_rows, C) f32.  Out-of-range idx rows are dropped (the one-hot
-    never matches).  split_bf16=False forces exact-f32 dots (~4x slower,
-    bit-deterministic vs the default's ~1e-5-abs rounding)."""
+    never matches).  split_bf16=True trades ~1e-5-abs rounding for bf16
+    MXU passes — measured SLOWER on v5e at these shapes (3.2 vs 2.4 ms
+    tex-bwd stage: the f32 dot was layout-, not FLOP-bound), so exact
+    f32 stays the default."""
     N, C = val.shape
     Np = -(-N // BLK) * BLK
     idx = jnp.pad(jnp.asarray(idx, I32), (0, Np - N),
