@@ -249,6 +249,18 @@ def _is_hard(cfg: DiffRenderConfig) -> bool:
     return (not cfg.alpha_blend) and cfg.soft_edge_temp == 0
 
 
+def _lex_min_comp(acc, x):
+    """Associative lexicographic-(z, step) min for lax.reduce: smaller z
+    wins, z ties take the smaller step."""
+    az, asn = acc
+    bz, bs = x
+    take_b = bz < az
+    tie = bz == az
+    z = jnp.where(take_b, bz, az)
+    s = jnp.where(take_b, bs, jnp.where(tie, jnp.minimum(asn, bs), asn))
+    return z, s
+
+
 def _resolve_vis_engine(engine: str, tile_logsize: int) -> str:
     """auto -> the vectorized XLA chunk reduction: measured 3.86 ms vs
     8.76 ms for the Pallas winner kernel in the same window at 512^2
@@ -336,17 +348,16 @@ def visibility_slots(setup, tile_pids, origins, cfg: DiffRenderConfig,
                     zp = (z0[p][:, None, None] * b0
                           + z1[p][:, None, None] * b1
                           + z2[p][:, None, None] * b2)
-                    zi = jnp.where(inside, zp, jnp.inf)
-                    # NaN z (degenerate prims) never wins a `<` test in
-                    # the sequential oracle — drop it before the min
-                    zi = jnp.where(jnp.isnan(zi), jnp.inf, zi)
-                    czmin = jnp.min(zi, axis=0)
-                    # earliest step attaining the chunk min; z=inf never
-                    # wins `<` in the oracle, so inf rows yield no step
-                    csmin = jnp.min(
-                        jnp.where((zi == czmin[None])
-                                  & jnp.isfinite(czmin)[None],
-                                  sc[:, None, None], BIG), axis=0)
+                    # z=inf/NaN never wins a `<` test in the sequential
+                    # oracle — such fragments carry no step
+                    ok = inside & jnp.isfinite(zp)
+                    zi = jnp.where(ok, zp, jnp.inf)
+                    si = jnp.where(ok, sc[:, None, None], BIG)
+                    # ONE variadic lexicographic-(z, step) min over the
+                    # chunk (zi computed once, no second pass)
+                    czmin, csmin = jax.lax.reduce(
+                        (zi, si), (F32(jnp.inf), BIG), _lex_min_comp,
+                        (0,))
                     # lexicographic (z, step) merge with the carry
                     take = czmin < best_z
                     tie = czmin == best_z
