@@ -27,7 +27,7 @@ from skybox_rt_tpu.models import scenes
 
 SIZE = 512
 ITERS = 10
-TILE_LOG = 5
+TILE_LOG = int(os.environ.get("SKYBOX_BENCH_TILE_LOG", "5"))
 
 
 def build(subdiv=4):

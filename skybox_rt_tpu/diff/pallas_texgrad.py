@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 F32 = jnp.float32
 I32 = jnp.int32
 
-BLK = 512          # pixels per grid step
+BLK = 1024         # pixels per grid step
 R_CHUNK = 1024     # one-hot row chunk (VMEM pressure: R_CHUNK*BLK*4 B)
 
 
