@@ -106,7 +106,9 @@ def main():
         dc.states.depth_test, dc.states.color_enabled,
         dc.states.texture_enabled, dc.states.texture_envmode)
     om_state = state_mod.make_om_state(dc.states)
+    os.environ["SKYBOX_QUAD"] = "1"       # quad arm is opt-in since r3
     ts_quad, tex_quad = driver.make_texture_binding(trace, dc, dc.states)
+    del os.environ["SKYBOX_QUAD"]
     assert ts_quad.quad, "expected the quad-table binding"
     # flat variant for the A/B
     texture = trace.textures[dc.texture_id]

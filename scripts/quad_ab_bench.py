@@ -49,9 +49,9 @@ def main():
     om_state = state_mod.make_om_state(dc.states)
     ts_quad, tex_quad = driver.make_texture_binding(trace, dc, dc.states)
     assert ts_quad.quad
-    os.environ["SKYBOX_NO_QUAD"] = "1"
+    os.environ["SKYBOX_QUAD"] = "0"
     ts_flat, tex_flat = driver.make_texture_binding(trace, dc, dc.states)
-    os.environ["SKYBOX_NO_QUAD"] = "0"
+    os.environ["SKYBOX_QUAD"] = "1"
     assert not ts_flat.quad
     fbc = jnp.asarray(renderer.pad_framebuffer(
         np.full((H, W), driver.CLEAR_COLOR, np.uint32),

@@ -123,11 +123,45 @@ def main():
         return rec[p].sum()
     timed_loop("b rec-gather   ", rec_gather, p0, rec0)
 
-    # c. texel-sample
-    def tex_sample(tq, uv):
+    # c. texel-sample: quad vs flat, random vs COHERENT uv (the real
+    # winner-interpolated stream — fwd_r3_bench found coherent flat
+    # gathers ~100x faster than random in the exact-int path)
+    def uv_coherent():
+        setup = setup0
+        rec = jnp.concatenate([setup["edges"].reshape(P, 9),
+                               setup["color"].reshape(P, 12),
+                               setup["uv"].reshape(P, 6)], axis=1)
+        rec_tile = rec[jnp.maximum(tile_pids, 0)]
+        r = jnp.take_along_axis(
+            rec_tile, jnp.maximum(s0, 0).reshape(T, -1)[..., None], axis=1
+        ).reshape(T, ts, ts, 27)
+        ys = (jax.lax.broadcasted_iota(jnp.int32, (1, ts, ts), 1)
+              + origins[:, 1][:, None, None]).astype(jnp.float32)
+        xs = (jax.lax.broadcasted_iota(jnp.int32, (1, ts, ts), 2)
+              + origins[:, 0][:, None, None]).astype(jnp.float32)
+        e = r[..., :9].reshape(T, ts, ts, 3, 3)
+        e0 = e[..., 0, 0] * xs + e[..., 0, 1] * ys + e[..., 0, 2]
+        e1 = e[..., 1, 0] * xs + e[..., 1, 1] * ys + e[..., 1, 2]
+        e2 = e[..., 2, 0] * xs + e[..., 2, 1] * ys + e[..., 2, 2]
+        b0, b1, b2 = pipeline._barycentrics(e0, e1, e2)
+        t = r[..., 21:27].reshape(T, ts, ts, 3, 2)
+        return (t[..., 0, :] * b0[..., None] + t[..., 1, :] * b1[..., None]
+                + t[..., 2, :] * b2[..., None])
+    uvc = jax.block_until_ready(jax.jit(uv_coherent)())
+    tex0 = params["tex"]
+
+    def tex_sample_quad(tq, uv):
         return pipeline.sample_texture_bilinear_quad(
             tq, uv[..., 0], uv[..., 1]).sum()
-    timed_loop("c texel-sample ", tex_sample, tq0, uv0)
+
+    def tex_sample_flat(tex, uv):
+        return pipeline.sample_texture_bilinear(
+            tex, uv[..., 0], uv[..., 1]).sum()
+
+    timed_loop("c quad random  ", tex_sample_quad, tq0, uv0)
+    timed_loop("c quad coherent", tex_sample_quad, tq0, uvc)
+    timed_loop("c flat random  ", tex_sample_flat, tex0, uv0)
+    timed_loop("c flat coherent", tex_sample_flat, tex0, uvc)
 
     # d. arith-only: shade math with r fixed (broadcast), real xs/ys
     def arith_only(s):

@@ -69,9 +69,16 @@ def make_texture_binding(trace: cgltrace.CGLTrace, drawcall,
     )
     texels = sampler_mod.make_texel_array(vx_format, mip_chain)
     if (sampler_mod.quad_supported(tex_state)
-            and os.environ.get("SKYBOX_NO_QUAD", "0") != "1"):
-        # 2x2 quad-table layout: one gather per bilinear sample instead of
-        # four (exact; see sampler.quad_supported)
+            and os.environ.get("SKYBOX_QUAD", "0") == "1"):
+        # 2x2 quad-table layout: one gather per bilinear sample instead
+        # of four (exact; see sampler.quad_supported).  OFF by default:
+        # same-window e2e at 1024^2 measured the quad table 43x SLOWER
+        # for real draws (28.5 vs 0.66 ms/draw) — rasterized uv streams
+        # are spatially coherent and XLA's gather runs coherent 4 B-row
+        # fetches ~100x faster than random, an advantage the 4x-wider
+        # 64 B quad rows forfeit.  The table only wins for INCOHERENT
+        # index streams (random-uv sample-only: 5.7 vs 35.4 ms/Mpx,
+        # PERF.md round 3); opt in via SKYBOX_QUAD=1.
         texels = sampler_mod.make_texel_quad_array(tex_state, texels)
         tex_state = dataclasses.replace(tex_state, quad=True)
     return tex_state, jnp.asarray(texels)
