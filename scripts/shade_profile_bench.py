@@ -163,6 +163,32 @@ def main():
     timed_loop("c flat random  ", tex_sample_flat, tex0, uv0)
     timed_loop("c flat coherent", tex_sample_flat, tex0, uvc)
 
+    # c5: the same quad lerp but with SIXTEEN 1-D scalar gathers — the
+    # exact-int path's 4 B scalar gathers hit a fast path the 64 B row
+    # gather misses; does that hold for f32 scalars?
+    th, tw = tex0.shape[0], tex0.shape[1]
+    tq_cols = tuple(jnp.asarray(np.asarray(tq0).reshape(th * tw, 16)[:, j])
+                    for j in range(16))
+
+    def tex_sample_scalar(cols, uv):
+        u, v = uv[..., 0], uv[..., 1]
+        uu = (u % 1.0) * tw - 0.5
+        vv = (v % 1.0) * th - 0.5
+        x0 = jnp.floor(uu)
+        y0 = jnp.floor(vv)
+        fx = (uu - x0)[..., None]
+        fy = (vv - y0)[..., None]
+        idx = (jnp.mod(y0.astype(jnp.int32), th) * tw
+               + jnp.mod(x0.astype(jnp.int32), tw))
+        taps = [jnp.stack([cols[k * 4 + c][idx] for c in range(4)], -1)
+                for k in range(4)]
+        cx0 = taps[0] + fx * (taps[1] - taps[0])
+        cx1 = taps[2] + fx * (taps[3] - taps[2])
+        return (cx0 + fy * (cx1 - cx0)).sum()
+
+    timed_loop("c 16xscalar rnd", tex_sample_scalar, tq_cols, uv0)
+    timed_loop("c 16xscalar coh", tex_sample_scalar, tq_cols, uvc)
+
     # d. arith-only: shade math with r fixed (broadcast), real xs/ys
     def arith_only(s):
         ys = (jax.lax.broadcasted_iota(jnp.int32, (1, ts, ts), 1)
