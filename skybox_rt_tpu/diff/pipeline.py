@@ -384,39 +384,68 @@ def visibility_slots(setup, tile_pids, origins, cfg: DiffRenderConfig,
         slot_steps, maxw = jax.vmap(per_tile_hard)(tile_pids, origins)
         return slot_steps, maxw.max()
 
+    # K-slot path, chunk-vectorized: the sequential per-pixel rules
+    # become prefix scans along the chunk's prim axis —
+    #   * running depth min = exclusive cummin of the chunk's inside-z
+    #     (a rejected fragment's z can never lower the running min, so
+    #     the inside-prefix min equals the written-prefix min)
+    #   * slot index = carry count + exclusive cumsum of writes
+    # CH2 prims advance per sequential step instead of one.
+    CH2 = 32
+
     def per_tile(pids, origin):
         xs, ys = _tile_coords(ts, origin)
-        fb_z = jnp.full((ts, ts), jnp.inf, F32)
-        slot_steps = jnp.full((ts, ts, K), -1, I32)
-        count = jnp.zeros((ts, ts), I32)
+        M = pids.shape[0]
+        Mp = -(-M // CH2) * CH2
+        pids_p = jnp.pad(pids, (0, Mp - M), constant_values=-1)
+        chunks_p = pids_p.reshape(Mp // CH2, CH2)
+        steps_p = jnp.arange(Mp, dtype=I32).reshape(Mp // CH2, CH2)
 
-        def step(carry, s_pid):
+        def chunk_step(carry, c):
             fb_z, slot_steps, count = carry
-            s, pid = s_pid
-            valid = pid >= 0
-            p = jnp.maximum(pid, 0)
-            e = edges[p]
-            e0 = e[0, 0] * xs + e[0, 1] * ys + e[0, 2]
-            e1 = e[1, 0] * xs + e[1, 1] * ys + e[1, 2]
-            e2 = e[2, 0] * xs + e[2, 1] * ys + e[2, 2]
-            inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & valid
+            pc, sc = c
+            valid = pc >= 0
+            p = jnp.maximum(pc, 0)
+            e = edges[p]                            # (CH2, 3, 3)
+            e0 = (e[:, 0, 0, None, None] * xs + e[:, 0, 1, None, None]
+                  * ys + e[:, 0, 2, None, None])
+            e1 = (e[:, 1, 0, None, None] * xs + e[:, 1, 1, None, None]
+                  * ys + e[:, 1, 2, None, None])
+            e2 = (e[:, 2, 0, None, None] * xs + e[:, 2, 1, None, None]
+                  * ys + e[:, 2, 2, None, None])
+            inside = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+                      & valid[:, None, None])
             if cfg.depth_test:
                 b0, b1, b2 = _barycentrics(e0, e1, e2)
-                zp = z0[p] * b0 + z1[p] * b1 + z2[p] * b2
-                write = inside & (zp < fb_z)
-                fb_z = jnp.where(write, zp, fb_z)
+                zp = (z0[p][:, None, None] * b0
+                      + z1[p][:, None, None] * b1
+                      + z2[p][:, None, None] * b2)
+                # NaN z never writes and never moves the running min
+                zi = jnp.where(inside & ~jnp.isnan(zp), zp, jnp.inf)
+                cm = jax.lax.cummin(zi, axis=0)
+                runmin = jnp.minimum(
+                    fb_z[None],
+                    jnp.concatenate([jnp.full_like(zi[:1], jnp.inf),
+                                     cm[:-1]], axis=0))
+                write = inside & (zp < runmin)
+                fb_z = jnp.minimum(fb_z, cm[-1])
             else:
                 write = inside
-            hit = write[..., None] & (
-                count[..., None] == jnp.arange(K, dtype=I32))
-            slot_steps = jnp.where(hit, s, slot_steps)
-            count = count + write.astype(I32)
+            wi = write.astype(I32)
+            slot = (count[None] + jnp.cumsum(wi, axis=0) - wi)  # exclusive
+            for k in range(K):
+                cand = jnp.max(jnp.where(write & (slot == k),
+                                         sc[:, None, None], -1), axis=0)
+                slot_steps = slot_steps.at[..., k].set(
+                    jnp.where(cand >= 0, cand, slot_steps[..., k]))
+            count = count + wi.sum(axis=0)
             return (fb_z, slot_steps, count), None
 
-        M = pids.shape[0]
+        carry = (jnp.full((ts, ts), jnp.inf, F32),
+                 jnp.full((ts, ts, K), -1, I32),
+                 jnp.zeros((ts, ts), I32))
         (fb_z, slot_steps, count), _ = jax.lax.scan(
-            step, (fb_z, slot_steps, count),
-            (jnp.arange(M, dtype=I32), pids))
+            chunk_step, carry, (chunks_p, steps_p))
         return slot_steps, count.max()
 
     slot_steps, maxw = jax.vmap(per_tile)(tile_pids, origins)
