@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -318,7 +319,7 @@ def visibility_slots(setup, tile_pids, origins, cfg: DiffRenderConfig,
         # then the min step attaining it — min/where only, NO argmin +
         # take_along_axis (whose per-element gathers dominated the old
         # 16-wide chunk scan: 20.8 of the 31.7 ms step at 512^2).
-        CH = 128
+        CH = int(os.environ.get("SKYBOX_VIS_CHUNK", "128"))
         BIG = jnp.int32(2**30)
 
         def per_tile_hard(pids, origin):
