@@ -526,13 +526,31 @@ gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 def gather_tile_rows(table, idx):
     """Per-tile row gather: table (T, M, C)[t, idx[t, ...]] -> (T, ..., C).
 
-    The transpose is a batched one-hot matmul over the SMALL per-tile
-    prim axis M (einsum on the MXU) — two-level accumulation: pixels ->
-    tile slots here, tile slots -> global prim rows via gather_rows.
-    ~50x fewer one-hot FLOPs than a global-prim-axis accumulation."""
+    On TPU with small M the FORWARD is also a one-hot matmul: a one-hot
+    f32 dot reproduces the gathered row bit-exactly (1.0*v summed with
+    exact zeros; Precision.HIGHEST keeps the f32 limbs exact on the
+    bf16 MXU) and replaces a per-pixel row gather with MXU work.
+
+    The transpose is the batched one-hot einsum over the SMALL per-tile
+    prim axis M — two-level accumulation: pixels -> tile slots here,
+    tile slots -> global prim rows via gather_rows.  ~50x fewer one-hot
+    FLOPs than a global-prim-axis accumulation."""
     T, M, C = table.shape
+    if jax.devices()[0].platform == "tpu" and M <= 512:
+        return _gather_tile_rows_matmul(table, idx)
     return jnp.take_along_axis(
         table, idx.reshape(T, -1)[..., None], axis=1
+    ).reshape(*idx.shape, C)
+
+
+def _gather_tile_rows_matmul(table, idx):
+    T, M, C = table.shape
+    onehot = (idx.reshape(T, -1)[..., None]
+              == jnp.arange(M, dtype=idx.dtype)[None, None]
+              ).astype(table.dtype)
+    return jnp.einsum(
+        "tnm,tmc->tnc", onehot, table,
+        precision=jax.lax.Precision.HIGHEST,
     ).reshape(*idx.shape, C)
 
 

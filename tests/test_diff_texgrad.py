@@ -80,3 +80,17 @@ def test_quad_values_match_flat_sampler():
         pipeline._quad_texture(tex), u, v)
     np.testing.assert_allclose(np.asarray(quad), np.asarray(flat),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_gather_tile_rows_matmul_bit_exact():
+    """The one-hot matmul forward of gather_tile_rows must reproduce the
+    gathered rows BIT-exactly (1.0*v + exact zeros)."""
+    rng = np.random.default_rng(3)
+    T, M, C = 5, 37, 27
+    table = jnp.asarray(rng.normal(size=(T, M, C)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, M, (T, 8, 8)).astype(np.int32))
+    want = jnp.take_along_axis(
+        table, idx.reshape(T, -1)[..., None], axis=1
+    ).reshape(T, 8, 8, C)
+    got = pipeline._gather_tile_rows_matmul(table, idx)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
