@@ -173,3 +173,46 @@ def test_sharded_deferred_train_step_matches_scan_step():
     for k in pd:
         np.testing.assert_allclose(np.asarray(pd[k]), np.asarray(ps[k]),
                                    rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_kslot_multi_chunk_deep_overlap():
+    """80 stacked triangles over one tile: the K-slot visibility's
+    chunk-vectorized prefix rules (CH2=32) must carry count/running-min
+    across chunk boundaries exactly like the sequential scan."""
+    n = 80
+    V = n * 3
+    rng = np.random.default_rng(7)
+    pos = np.zeros((V, 4), np.float32)
+    # all triangles cover the tile center; z interleaved so depth-passing
+    # writes land in many different chunks
+    base = np.array([[-0.9, -0.9], [0.9, -0.9], [0.0, 0.9]], np.float32)
+    for i in range(n):
+        jit = rng.uniform(-0.05, 0.05, (3, 2)).astype(np.float32)
+        pos[3 * i:3 * i + 3, :2] = base + jit
+    pos[:, 2] = np.repeat(
+        rng.permutation(np.linspace(-0.5, 0.5, n)).astype(np.float32), 3)
+    pos[:, 3] = 1.0
+    params = {
+        "pos": jnp.asarray(pos),
+        "color": jnp.asarray(rng.uniform(0, 1, (V, 4)).astype(np.float32)),
+        "uv": jnp.asarray(rng.uniform(0, 1, (V, 2)).astype(np.float32)),
+    }
+    indices = np.arange(V, dtype=np.int32).reshape(n, 3)
+    for kw in (dict(depth_test=True, alpha_blend=True),
+               dict(depth_test=False, alpha_blend=True),
+               dict(depth_test=True, soft_edge_temp=0.5)):
+        cfg = pipeline.DiffRenderConfig(width=32, height=32,
+                                        tile_logsize=4, **kw)
+        static = dbin.bin_static(pos, indices, 32, 32, tile_logsize=4)
+        static = {k: jnp.asarray(v) for k, v in static.items()}
+        assert static["tile_pids"].shape[1] > 32   # multi-chunk for real
+        img_scan = np.asarray(pipeline.render(params, static, cfg))
+        img_def, maxw = pipeline.render_deferred(params, static, cfg,
+                                                 slots=96)
+        assert int(maxw) <= 96
+        # a chunk-carry bug (wrong slot order / lost write / broken
+        # running-min) composites different fragments -> O(0.1) errors
+        # with these random colors; only last-ulp fusion rounding (the
+        # known scan-vs-deferred effect on dense scenes) is tolerated
+        np.testing.assert_allclose(img_scan, np.asarray(img_def),
+                                   atol=1e-5, rtol=1e-5)
