@@ -86,3 +86,46 @@ def test_mirror_not_quad_supported():
         dataclasses.replace(st, wrap_u=C.TEX_WRAP_REPEAT))
     assert not sampler.quad_supported(
         dataclasses.replace(st, filter=C.TEX_FILTER_POINT))
+
+
+def test_driver_quad_optin_bit_exact(monkeypatch):
+    """SKYBOX_QUAD=1 switches the driver's texture binding to the quad
+    table; a textured draw must stay bit-exact vs the flat default.
+    (The driver defaults to flat since round 3: coherent-uv e2e measured
+    the quad table 43x slower on chip — PERF.md.)"""
+    import numpy as np
+
+    from skybox_rt_tpu.core import constants as C
+    from skybox_rt_tpu.core import state as state_mod
+    from skybox_rt_tpu.geom import binning, cgltrace
+    from skybox_rt_tpu.ops import deferred as deferred_mod
+    from skybox_rt_tpu.ref import driver, renderer
+
+    trace = cgltrace.load_cached(cgltrace.trace_path("tekkaman"))
+    dc = trace.drawcalls[0]
+    W = H = 64
+    binned = binning.bin_drawcall(dc.pos, dc.indices, dc.color,
+                                  dc.texcoord, W, H, dc.near, dc.far,
+                                  C.RASTER_TILE_LOGSIZE)
+    flags = state_mod.make_shader_flags(
+        dc.states.depth_test, dc.states.color_enabled,
+        dc.states.texture_enabled, dc.states.texture_envmode)
+    om_state = state_mod.make_om_state(dc.states)
+    fbc = jnp.asarray(renderer.pad_framebuffer(
+        np.full((H, W), driver.CLEAR_COLOR, np.uint32),
+        C.RASTER_TILE_LOGSIZE))
+    fbd = jnp.asarray(renderer.pad_framebuffer(
+        np.full((H, W), driver.CLEAR_DEPTH, np.uint32),
+        C.RASTER_TILE_LOGSIZE))
+
+    outs = {}
+    for name, env in (("flat", "0"), ("quad", "1")):
+        monkeypatch.setenv("SKYBOX_QUAD", env)
+        tex_state, texels = driver.make_texture_binding(trace, dc,
+                                                        dc.states)
+        assert tex_state.quad == (env == "1")
+        rs = state_mod.RenderState(flags=flags, om=om_state,
+                                   tex=tex_state, scissor=(0, 0, W, H))
+        c, d = deferred_mod.render_drawcall(rs, texels, binned, fbc, fbd)
+        outs[name] = np.asarray(c)
+    np.testing.assert_array_equal(outs["flat"], outs["quad"])
