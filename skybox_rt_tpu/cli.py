@@ -83,7 +83,9 @@ def _cmd_bench(args) -> int:
     from .ref import driver
 
     trace = cgltrace.load_cached(cgltrace.trace_path(args.trace))
-    frame, arrays = driver.compile_frame(trace, args.width, args.width)
+    frame, arrays = driver.compile_frame(trace, args.width, args.width,
+                                         tile_logsize=args.tile_logsize,
+                                         mode=args.mode)
     fb = frame(arrays)
     jax.block_until_ready(fb)
 
@@ -97,6 +99,7 @@ def _cmd_bench(args) -> int:
     mpix_s = pixels / elapsed / 1e6
     print(json.dumps({
         "scene": args.trace, "size": args.width, "frames": args.frames,
+        "tile_logsize": args.tile_logsize, "mode": args.mode,
         "ms_per_frame": elapsed / args.frames * 1e3,
         "mpix_s": mpix_s,
     }))
@@ -121,6 +124,7 @@ def _cmd_info(args) -> int:
 
 
 def build_parser() -> argparse.ArgumentParser:
+    from .core import constants as C
     p = argparse.ArgumentParser(prog="skybox_rt_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -145,6 +149,12 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("-t", "--trace", default="tekkaman")
     b.add_argument("-w", "--width", type=int, default=512)
     b.add_argument("--frames", type=int, default=20)
+    b.add_argument("--tile-logsize", type=int,
+                   default=C.RASTER_TILE_LOGSIZE, choices=range(3, 8),
+                   help="raster tile log2 size (the reference sweep's "
+                        "rtile axis, perf/graphics/run.sh)")
+    b.add_argument("--mode", default="deferred",
+                   choices=("immediate", "deferred", "pallas"))
     b.set_defaults(fn=_cmd_bench)
 
     i = sub.add_parser("info", help="device capabilities (vx_dev_caps)")
