@@ -12,8 +12,14 @@ Prints ONE JSON line.  Headline fields {"metric", "value", "unit",
 "vs_baseline"} are the round-over-round contract; the "extra" blob is the
 standing per-round artifact (VERDICT r2 #8; ≅ the reference's perf sweep
 protocol /root/reference/perf/graphics/run.sh:16-33): which render mode the
-headline used, the 1024^2 single-draw forward number, and the 512^2
-fwd+bwd (training-step) number, so regressions are attributable per path.
+headline used, the 1024^2 single-draw forward number (both visibility
+engines, same window), and the 512^2 fwd+bwd (training-step) number, so
+regressions are attributable per path.
+
+Headline protocol (r4): value = MEDIAN of REPS runs, vs_baseline on the
+median (the round-1 baseline was a single run, so the median — not the
+best — is the like-for-like comparison); extra.headline_best records the
+min-time noise-rejected best alongside.
 """
 from __future__ import annotations
 
@@ -58,14 +64,14 @@ def _headline(jax):
     assert frame is not None, "no render mode compiled"
     num_draws = len(arrays)
 
-    # Best-of-REPS: the per-run protocol is unchanged (20 dispatched
-    # frames, reference window analog), but a 256^2 frame renders in
-    # ~0.04 ms so the measurement is dominated by tunnel dispatch
-    # latency, which swings 6x between congestion windows (observed
-    # 3048 -> 541 Mpix/s for identical code 20 minutes apart; round 2's
-    # phantom 0.912x "regression" was this).  Reporting the best of
-    # several short runs is standard min-time noise rejection.
-    best = 0.0
+    # REPS short runs (each the 20-dispatched-frame reference window
+    # analog).  The tunnel's dispatch latency swings 6x between
+    # congestion windows (observed 3048 -> 541 Mpix/s for identical code
+    # 20 minutes apart; round 2's phantom 0.912x "regression" was this),
+    # so per VERDICT r3 the headline VALUE is the MEDIAN of the runs
+    # (comparable to the single-run round-1 baseline in expectation)
+    # and the BEST is recorded alongside as the min-time noise-rejected
+    # number (extra.headline_best).
     runs = []
     for _ in range(REPS):
         t0 = time.perf_counter()
@@ -75,8 +81,8 @@ def _headline(jax):
         elapsed = time.perf_counter() - t0
         mpix = SIZE * SIZE * num_draws * FRAMES / elapsed / 1e6
         runs.append(round(mpix, 1))
-        best = max(best, mpix)
-    return best, mode, runs
+    med = float(np.median(runs))
+    return med, max(runs), mode, runs
 
 
 def _draw1024(jax):
@@ -111,20 +117,27 @@ def _draw1024(jax):
         np.full((H, W), driver.CLEAR_DEPTH, np.uint32),
         C.RASTER_TILE_LOGSIZE))
 
-    vis = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
-
-    def run():
-        return deferred_mod.render_drawcall(rs, texels, binned, fbc, fbd,
-                                            visibility=vis)
-    out = run()
-    jax.block_until_ready(out)
-    n = 20
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = run()
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n
-    return W * H / dt / 1e6
+    # BOTH visibility modes, same window (VERDICT r3 #4: the standing
+    # artifact must be reconcilable with the PERF.md table, whose winning
+    # config is "xla flat" while the r3 artifact recorded only "pallas")
+    modes = ["xla"]
+    if jax.devices()[0].platform == "tpu":
+        modes.append("pallas")
+    out = {}
+    for vis in modes:
+        def run():
+            return deferred_mod.render_drawcall(rs, texels, binned, fbc,
+                                                fbd, visibility=vis)
+        fb = run()
+        jax.block_until_ready(fb)
+        n = 20
+        t0 = time.perf_counter()
+        for _ in range(n):
+            fb = run()
+        jax.block_until_ready(fb)
+        dt = (time.perf_counter() - t0) / n
+        out[vis] = round(W * H / dt / 1e6, 1)
+    return out
 
 
 def _fwd_bwd(jax):
@@ -183,10 +196,16 @@ def _fwd_bwd(jax):
 def main():
     import jax
 
-    mpix_s, mode, runs = _headline(jax)
-    extra = {"mode": mode, "headline_runs": runs}
+    mpix_s, best, mode, runs = _headline(jax)
+    extra = {"mode": mode, "headline_runs": runs,
+             "headline_best": round(best, 1)}
     try:
-        extra["draw1024_mpix_s"] = round(_draw1024(jax), 1)
+        d = _draw1024(jax)
+        # headline field keeps the best mode (continuity with r3);
+        # per-mode numbers make it attributable vs the PERF.md table
+        extra["draw1024_mpix_s"] = max(d.values())
+        for vis, v in d.items():
+            extra[f"draw1024_{vis}_mpix_s"] = v
     except Exception as e:       # standing artifact must not kill the bench
         extra["draw1024_mpix_s"] = None
         extra["draw1024_error"] = type(e).__name__

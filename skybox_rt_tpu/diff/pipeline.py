@@ -37,6 +37,27 @@ F32 = jnp.float32
 I32 = jnp.int32
 
 
+def _env_chunk(name: str, default: int) -> int:
+    """Validated integer env knob, read ONCE at import (reading it at
+    trace time silently no-ops for already-cached jit shapes — ADVICE
+    r3)."""
+    raw = os.environ.get(name, str(default))
+    try:
+        v = int(raw)
+    except ValueError:
+        raise ValueError(f"{name} must be an integer, got {raw!r}") from None
+    if v <= 0:
+        raise ValueError(f"{name} must be positive, got {v}")
+    return v
+
+
+#: Prims advanced per sequential step of the hard-mode visibility
+#: reduction (visibility_slots).  Larger = fewer scan steps but bigger
+#: (CH, ts, ts) temporaries; 128 measured best at 512^2 (PERF.md).
+#: Override with env SKYBOX_VIS_CHUNK **before importing** this module.
+VIS_CHUNK = _env_chunk("SKYBOX_VIS_CHUNK", 128)
+
+
 @dataclasses.dataclass(frozen=True)
 class DiffRenderConfig:
     width: int
@@ -268,7 +289,13 @@ def _resolve_vis_engine(engine: str, tile_logsize: int) -> str:
     (the kernel's per-prim scalar-extract loop loses to the fused
     min/where reduction; both beat the old argmin/take_along_axis scan's
     20.8 ms).  The kernel stays available via engine='pallas'; off-TPU
-    that falls back to the Mosaic interpreter (tests)."""
+    that falls back to the Mosaic interpreter (tests).  Tile sizes the
+    kernel can't block (pallas_vis.supported) fall back to 'xla' instead
+    of failing with a zero-size block error (ADVICE r3)."""
+    if engine in ("pallas", "pallas_interpret"):
+        from . import pallas_vis
+        if not pallas_vis.supported(tile_logsize):
+            return "xla"
     if engine == "pallas" and jax.devices()[0].platform != "tpu":
         return "pallas_interpret"
     if engine == "auto":
@@ -319,7 +346,7 @@ def visibility_slots(setup, tile_pids, origins, cfg: DiffRenderConfig,
         # then the min step attaining it — min/where only, NO argmin +
         # take_along_axis (whose per-element gathers dominated the old
         # 16-wide chunk scan: 20.8 of the 31.7 ms step at 512^2).
-        CH = int(os.environ.get("SKYBOX_VIS_CHUNK", "128"))
+        CH = VIS_CHUNK
         BIG = jnp.int32(2**30)
 
         def per_tile_hard(pids, origin):
@@ -545,6 +572,14 @@ def gather_tile_rows(table, idx):
 
 def _gather_tile_rows_matmul(table, idx):
     T, M, C = table.shape
+    # sanitize: the one-hot contraction turns a single non-finite record
+    # row (degenerate prim, e.g. w~0 giving inf edge coefficients) into
+    # 0*inf = NaN across EVERY pixel of the tile, while the
+    # take_along_axis fallback keeps it local — silent platform-dependent
+    # divergence (ADVICE r3).  Pixels actually referencing the degenerate
+    # row get a finite-but-arbitrary value instead of NaN; all other
+    # pixels now match the gather path exactly.
+    table = jnp.nan_to_num(table, nan=0.0, posinf=0.0, neginf=0.0)
     onehot = (idx.reshape(T, -1)[..., None]
               == jnp.arange(M, dtype=idx.dtype)[None, None]
               ).astype(table.dtype)
@@ -654,38 +689,48 @@ def shade_slots(setup, tile_pids, slot_steps, origins,
     fb_rgba = jnp.broadcast_to(
         jnp.asarray(cfg.background, F32), (T, ts, ts, 4)).astype(F32)
     K = slot_steps.shape[-1]
+    # ALL K slots shade in one batch (VERDICT r3 #3): ONE record gather
+    # (one one-hot matmul / one transpose accumulation instead of K),
+    # ONE quad-texture sample (one texgrad-kernel launch in the
+    # backward), K-batched elementwise interpolation; only the cheap
+    # composite fold below stays sequential in k (blend order matters).
+    # Per-slot math is elementwise-identical to the per-k version, so
+    # hard mode (K=1) stays exactly equal to render_tile_set.
+    live_all = slot_steps >= 0                      # (T, ts, ts, K)
+    r = gather_tile_rows(rec_tile, jnp.maximum(slot_steps, 0))
+    xsk = xs[..., None]
+    ysk = ys[..., None]
+    e = r[..., :9].reshape(*slot_steps.shape, 3, 3)
+    e0 = e[..., 0, 0] * xsk + e[..., 0, 1] * ysk + e[..., 0, 2]
+    e1 = e[..., 1, 0] * xsk + e[..., 1, 1] * ysk + e[..., 1, 2]
+    e2 = e[..., 2, 0] * xsk + e[..., 2, 1] * ysk + e[..., 2, 2]
+    b0, b1, b2 = _barycentrics(e0, e1, e2)
+    c = r[..., 9:21].reshape(*slot_steps.shape, 3, 4)
+    col = (c[..., 0, :] * b0[..., None] + c[..., 1, :] * b1[..., None]
+           + c[..., 2, :] * b2[..., None])
+    if cfg.textured:
+        t = r[..., 21:27].reshape(*slot_steps.shape, 3, 2)
+        uvp = (t[..., 0, :] * b0[..., None]
+               + t[..., 1, :] * b1[..., None]
+               + t[..., 2, :] * b2[..., None])
+        texel = sample_texture_bilinear_quad(
+            tex_quad, uvp[..., 0], uvp[..., 1])
+        col = col * texel if cfg.modulate else texel
+    if cfg.soft_edge_temp > 0:
+        temp = F32(cfg.soft_edge_temp)
+        dmin = jnp.minimum(jnp.minimum(e0, e1), e2)
+        cov_w_all = jnp.where(live_all, jax.nn.sigmoid(dmin / temp), 0.0)
+    else:
+        cov_w_all = live_all.astype(F32)
     for k in range(K):
-        s = slot_steps[..., k]                      # (T, ts, ts)
-        live = s >= 0
-        r = gather_tile_rows(rec_tile, jnp.maximum(s, 0))  # 1 row/pixel
-        p = s                                       # shapes only below
-        e = r[..., :9].reshape(*p.shape, 3, 3)
-        e0 = e[..., 0, 0] * xs + e[..., 0, 1] * ys + e[..., 0, 2]
-        e1 = e[..., 1, 0] * xs + e[..., 1, 1] * ys + e[..., 1, 2]
-        e2 = e[..., 2, 0] * xs + e[..., 2, 1] * ys + e[..., 2, 2]
-        b0, b1, b2 = _barycentrics(e0, e1, e2)
-        c = r[..., 9:21].reshape(*p.shape, 3, 4)
-        col = (c[..., 0, :] * b0[..., None] + c[..., 1, :] * b1[..., None]
-               + c[..., 2, :] * b2[..., None])
-        if cfg.textured:
-            t = r[..., 21:27].reshape(*p.shape, 3, 2)
-            uvp = (t[..., 0, :] * b0[..., None]
-                   + t[..., 1, :] * b1[..., None]
-                   + t[..., 2, :] * b2[..., None])
-            texel = sample_texture_bilinear_quad(
-                tex_quad, uvp[..., 0], uvp[..., 1])
-            col = col * texel if cfg.modulate else texel
-        if cfg.soft_edge_temp > 0:
-            temp = F32(cfg.soft_edge_temp)
-            d = jnp.minimum(jnp.minimum(e0, e1), e2)
-            cov_w = jnp.where(live, jax.nn.sigmoid(d / temp), 0.0)
-        else:
-            cov_w = live.astype(F32)
+        live = live_all[..., k]
+        col_k = col[..., k, :]
+        cov_w = cov_w_all[..., k]
         if cfg.alpha_blend:
-            a = col[..., 3:4] * cov_w[..., None]
-            new_rgba = col * a + fb_rgba * (1.0 - a)
+            a = col_k[..., 3:4] * cov_w[..., None]
+            new_rgba = col_k * a + fb_rgba * (1.0 - a)
         else:
-            new_rgba = (col * cov_w[..., None]
+            new_rgba = (col_k * cov_w[..., None]
                         + fb_rgba * (1.0 - cov_w[..., None]))
         fb_rgba = jnp.where(live[..., None], new_rgba, fb_rgba)
     return fb_rgba

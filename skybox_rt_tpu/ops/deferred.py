@@ -353,7 +353,8 @@ def _next_pow2(n: int) -> int:
 
 
 def render_drawcall(render_state: RenderState, texels, binned,
-                    fb_color, fb_ds, visibility="xla", info=None):
+                    fb_color, fb_ds, visibility="xla", info=None,
+                    blend_k=None, overflow_out=None):
     """Deferred render of one drawcall — exact for every OM state.
 
     Blended draws start at DEFAULT_BLEND_SLOTS per-pixel fragment slots
@@ -362,6 +363,15 @@ def render_drawcall(render_state: RenderState, texels, binned,
     ``blend_k`` = the K that sufficed (0 for non-blended draws) and
     ``max_frag_count`` — callers like driver.compile_frame use it to pick
     static slot counts.
+
+    blend_k: a previously-measured slot count for THIS draw (e.g. from a
+    frame-level cache).  The draw dispatches once with that static K and
+    — instead of syncing — appends ``(blend_k, max_cnt_device_scalar)``
+    to ``overflow_out`` (a list) for the caller to verify at frame end,
+    where the framebuffer materialization has already paid the sync
+    (VERDICT r3 #7: no per-draw host sync in the steady-state eager
+    frame path).  With blend_k set and overflow_out=None the count is
+    verified synchronously (falls back to the retry loop on overflow).
     """
     if visibility != "xla":
         from . import pallas_raster
@@ -384,8 +394,26 @@ def render_drawcall(render_state: RenderState, texels, binned,
             info["blend_k"] = 0
         return fbc, fbd
 
-    k = DEFAULT_BLEND_SLOTS
     max_k = binned.tile_pids.shape[1]          # cannot exceed prims/tile
+    if blend_k is not None:
+        k = min(max(int(blend_k), 1), max_k)
+        fbc, fbd, max_cnt = _render_deferred_jit(
+            *args, visibility=visibility, blend_slots=k)
+        if overflow_out is not None:
+            overflow_out.append((k, max_cnt))   # deferred verification
+            if info is not None:
+                info["blend_k"] = k
+            return fbc, fbd
+        m = int(max_cnt)
+        if m <= k or k >= max_k:
+            if info is not None:
+                info["blend_k"] = k
+                info["max_frag_count"] = m
+            return fbc, fbd
+        # stale hint: continue into the measuring retry loop from m
+        k = min(_next_pow2(m), max_k)
+    else:
+        k = DEFAULT_BLEND_SLOTS
     while True:
         fbc, fbd, max_cnt = _render_deferred_jit(
             *args, visibility=visibility, blend_slots=min(k, max_k))

@@ -115,11 +115,14 @@ def _sharded_draw_fn(mesh, render_state, tile_logsize, blend_slots,
 
 
 def render_drawcall_sharded(mesh, render_state, texels, binned,
-                            fb_color, fb_ds, visibility="xla", info=None):
+                            fb_color, fb_ds, visibility="xla", info=None,
+                            blend_k=None, overflow_out=None):
     """Tile-striped exact render of one drawcall over the mesh.
 
     Bit-identical to ops.deferred.render_drawcall (same passes, same blend
-    slot/overflow protocol, lax.pmax-ed across devices)."""
+    slot/overflow protocol, lax.pmax-ed across devices).  blend_k /
+    overflow_out: cached-K dispatch with frame-end overflow verification,
+    same contract as ops.deferred.render_drawcall (VERDICT r3 #7)."""
     n = int(np.prod(mesh.devices.shape))
     if visibility != "xla":
         from ..ops import pallas_raster
@@ -143,8 +146,26 @@ def render_drawcall_sharded(mesh, render_state, texels, binned,
             info["blend_k"] = 0
         return fbc, fbd
 
-    k = deferred.DEFAULT_BLEND_SLOTS
     max_k = binned.tile_pids.shape[1]
+    if blend_k is not None:
+        k = min(max(int(blend_k), 1), max_k)
+        fn = _sharded_draw_fn(mesh, render_state, binned.tile_logsize, k,
+                              visibility)
+        fbc, fbd, max_cnt = fn(*args)
+        if overflow_out is not None:
+            overflow_out.append((k, max_cnt))
+            if info is not None:
+                info["blend_k"] = k
+            return fbc, fbd
+        m = int(max_cnt)
+        if m <= k or k >= max_k:
+            if info is not None:
+                info["blend_k"] = k
+                info["max_frag_count"] = m
+            return fbc, fbd
+        k = min(deferred._next_pow2(m), max_k)
+    else:
+        k = deferred.DEFAULT_BLEND_SLOTS
     while True:
         fn = _sharded_draw_fn(mesh, render_state, binned.tile_logsize,
                               min(k, max_k), visibility)
@@ -163,15 +184,38 @@ def render_trace_sharded(trace, width: int, height: int, mesh,
                          tile_logsize: int = 5,
                          visibility: str = "xla") -> np.ndarray:
     """Full-frame tile-striped render (the sharded twin of
-    ref.driver.render_trace; persistent z/color buffers across draws)."""
+    ref.driver.render_trace; persistent z/color buffers across draws).
+
+    Shares the trace-attached blend-K cache with the single-device driver
+    (the measured counts are identical — the sharded render is bit-exact
+    and max_cnt is pmax-ed), so steady-state frames dispatch blended
+    draws with a static K and verify overflow only at frame end."""
     from ..ref import driver as ref_driver
 
     draws = ref_driver.prepare_drawcalls(trace, width, height, tile_logsize)
+    cache = getattr(trace, "_blend_k_cache", None)
+    if cache is None:
+        cache = {}
+        trace._blend_k_cache = cache
+    # "prepared" namespace: prepare_drawcalls drops unbinnable draws, so
+    # its indices differ from render_trace's raw drawcall indices
+    ks = cache.setdefault((width, height, tile_logsize, "prepared"), {})
+    pending = []
     fbc = np.full((height, width), ref_driver.CLEAR_COLOR, np.uint32)
     fbd = np.full((height, width), ref_driver.CLEAR_DEPTH, np.uint32)
     fbc = jnp.asarray(ref_renderer.pad_framebuffer(fbc, tile_logsize))
     fbd = jnp.asarray(ref_renderer.pad_framebuffer(fbd, tile_logsize))
-    for rs, texels, binned in draws:
+    for d, (rs, texels, binned) in enumerate(draws):
+        info = {}
+        hint = ks.get(d)
         fbc, fbd = render_drawcall_sharded(
-            mesh, rs, texels, binned, fbc, fbd, visibility=visibility)
-    return np.asarray(fbc)[:height, :width]
+            mesh, rs, texels, binned, fbc, fbd, visibility=visibility,
+            info=info, blend_k=hint or None,
+            overflow_out=pending if hint else None)
+        ks[d] = info["blend_k"]
+    out = np.asarray(fbc)[:height, :width]
+    if pending and any(int(mc) > k for k, mc in pending):
+        cache.pop((width, height, tile_logsize, "prepared"), None)
+        return render_trace_sharded(trace, width, height, mesh,
+                                    tile_logsize, visibility)
+    return out

@@ -31,18 +31,9 @@ import jax
 import jax.numpy as jnp
 
 
-def bucketed_psum(tree, axis_name: str, n_buckets: int = 3):
-    """psum a gradient pytree as (up to) `n_buckets` concatenated
-    collectives.
-
-    Leaves are grouped BY DTYPE (so each concatenated psum reduces in the
-    leaf's native dtype — exact vs a per-leaf psum for every dtype, not
-    just f32), then packed greedily (largest first) into the currently
-    smallest bucket, so buckets are size-balanced; each bucket is
-    flattened, concatenated, psum-ed once, then split back.  A mixed-dtype
-    tree may therefore emit more than `n_buckets` collectives (one set per
-    dtype); the homogeneous-f32 gradient case emits exactly `n_buckets`.
-    """
+def _bucketed_reduce(tree, n_buckets: int, reduce_flat):
+    """Shared bucketing: pack leaves (grouped by dtype, size-balanced)
+    into concatenated flats, apply `reduce_flat` to each, split back."""
     leaves, treedef = jax.tree.flatten(tree)
     if not leaves:
         return tree
@@ -66,13 +57,65 @@ def bucketed_psum(tree, axis_name: str, n_buckets: int = 3):
             if not idx:
                 continue
             flat = jnp.concatenate([leaves[i].ravel() for i in idx])
-            flat = jax.lax.psum(flat, axis_name)
+            flat = reduce_flat(flat)
             off = 0
             for i in idx:
                 n = leaves[i].size
                 out[i] = flat[off:off + n].reshape(leaves[i].shape)
                 off += n
     return jax.tree.unflatten(treedef, out)
+
+
+def bucketed_psum(tree, axis_name: str, n_buckets: int = 3):
+    """psum a gradient pytree as (up to) `n_buckets` concatenated
+    collectives.
+
+    Leaves are grouped BY DTYPE (so each concatenated psum reduces in the
+    leaf's native dtype — exact vs a per-leaf psum for every dtype, not
+    just f32), then packed greedily (largest first) into the currently
+    smallest bucket, so buckets are size-balanced; each bucket is
+    flattened, concatenated, psum-ed once, then split back.  A mixed-dtype
+    tree may therefore emit more than `n_buckets` collectives (one set per
+    dtype); the homogeneous-f32 gradient case emits exactly `n_buckets`.
+    """
+    return _bucketed_reduce(
+        tree, n_buckets, lambda flat: jax.lax.psum(flat, axis_name))
+
+
+def two_level_psum(tree, dcn_axis: str, ici_axis: str, n_buckets: int = 3):
+    """Slice-aware gradient all-reduce for (hosts, chips) meshes
+    (SURVEY §2.8 multi-slice/DCN; VERDICT r3 missing #3).
+
+    A flat psum over both mesh axes moves every byte of the gradient
+    across the slow DCN axis on every host.  The 2-level decomposition
+    per bucket:
+
+      1. reduce-scatter over the fast ICI axis (`lax.psum_scatter`):
+         each chip ends up owning the fully-ICI-reduced 1/|ici| shard
+      2. all-reduce the SHARD over the DCN axis (`lax.psum`): cross-host
+         bytes drop by |ici| and all |ici| chips' DCN transfers run in
+         parallel (each host's chips carry disjoint shards)
+      3. all-gather the shards back over ICI (`lax.all_gather`)
+
+    Numerically this is a psum with a different (still deterministic)
+    reduction grouping: integer-valued f32 gradients reduce exactly;
+    generic f32 differs from a flat psum only by addition order.
+    Use inside shard_map over a mesh whose axes are (dcn_axis, ici_axis)
+    = mesh.make_mesh_2d's ("hosts", "tiles").
+    """
+    def reduce_flat(flat):
+        n_ici = jax.lax.axis_size(ici_axis)
+        n = flat.shape[0]
+        padded = -(-n // n_ici) * n_ici
+        if padded != n:
+            flat = jnp.pad(flat, (0, padded - n))
+        shard = jax.lax.psum_scatter(flat, ici_axis, scatter_dimension=0,
+                                     tiled=True)
+        shard = jax.lax.psum(shard, dcn_axis)
+        out = jax.lax.all_gather(shard, ici_axis, axis=0, tiled=True)
+        return out[:n]
+
+    return _bucketed_reduce(tree, n_buckets, reduce_flat)
 
 
 def count_all_reduces(text: str) -> int:

@@ -92,7 +92,8 @@ def make_sharded_render(mesh, cfg: pipeline.DiffRenderConfig):
 def make_train_step(mesh, cfg: pipeline.DiffRenderConfig, lr: float = 0.1,
                     trainable: tuple = ("color", "pos", "uv", "tex"),
                     deferred: bool = True, slots: int = 8,
-                    grad_buckets: int = 3):
+                    grad_buckets: int = 3,
+                    grad_collective: str = "flat"):
     """Inverse-rendering SGD step, tile-sharded with gradient all-reduce.
 
     target_tiles are pre-gathered per tile on the host (the per-chip loss
@@ -105,6 +106,10 @@ def make_train_step(mesh, cfg: pipeline.DiffRenderConfig, lr: float = 0.1,
     concatenated collectives (parallel.overlap.bucketed_psum) so XLA's
     scheduler can overlap each bucket's all-reduce with the backward
     compute feeding the next; 0 = one psum per parameter.
+    grad_collective: "flat" psums each bucket over all mesh axes at once;
+    "two_level" (2-D (hosts, chips) meshes only) uses the slice-aware
+    decomposition — ICI reduce-scatter, DCN shard all-reduce, ICI
+    all-gather (parallel.overlap.two_level_psum; SURVEY §2.8 DCN axis).
     Returns step(params, static_arrays, target_tiles)
         -> (params, loss, max_writes).
     max_writes is the mesh-max observed per-pixel write count of the
@@ -144,7 +149,13 @@ def make_train_step(mesh, cfg: pipeline.DiffRenderConfig, lr: float = 0.1,
         # rest of the backward (parallel.overlap docstring)
         loss = jax.lax.psum(loss, axis)
         maxw = jax.lax.pmax(maxw, axis)
-        if grad_buckets > 0:
+        if grad_collective == "two_level":
+            if len(axis) != 2:
+                raise ValueError("two_level needs a (hosts, chips) mesh")
+            grads = overlap_mod.two_level_psum(
+                grads, dcn_axis=axis[0], ici_axis=axis[1],
+                n_buckets=max(grad_buckets, 1))
+        elif grad_buckets > 0:
             grads = overlap_mod.bucketed_psum(grads, axis, grad_buckets)
         else:
             grads = jax.tree.map(lambda g: jax.lax.psum(g, axis), grads)

@@ -98,16 +98,27 @@ def render_trace(trace: cgltrace.CGLTrace, width: int, height: int,
     draw against the live ds buffer (ops.deferred.measure_drawcall_counts)
     so stats.traffic carries MEASURED tex/OM traffic instead of the
     coverage-area upper bound.
+
+    Blended-draw slot counts are measured on the FIRST render of a
+    (trace, size) and cached on the trace object; steady-state frames
+    dispatch with the cached static K and verify the overflow counters
+    only at frame end, where materializing the framebuffer has already
+    paid the device sync — zero per-draw host syncs (VERDICT r3 #7).
     """
-    if mode == "deferred":
-        from ..ops import deferred as deferred_mod
-        render_dc = deferred_mod.render_drawcall
-    elif mode in ("pallas", "pallas_interpret"):
+    deferred_mode = mode in ("deferred", "pallas", "pallas_interpret")
+    if deferred_mode:
         import functools
 
         from ..ops import deferred as deferred_mod
-        render_dc = functools.partial(
-            deferred_mod.render_drawcall, visibility=mode)
+        render_dc = (deferred_mod.render_drawcall if mode == "deferred"
+                     else functools.partial(deferred_mod.render_drawcall,
+                                            visibility=mode))
+        cache = getattr(trace, "_blend_k_cache", None)
+        if cache is None:
+            cache = {}
+            trace._blend_k_cache = cache
+        ks = cache.setdefault((width, height, tile_logsize), {})
+        pending = []
     else:
         render_dc = renderer.render_drawcall
     fbc = np.full((height, width), CLEAR_COLOR, np.uint32)
@@ -148,7 +159,15 @@ def render_trace(trace: cgltrace.CGLTrace, width: int, height: int,
 
             counts = deferred_mod.measure_drawcall_counts(
                 render_state, binned, fbd)
-        fbc, fbd = render_dc(render_state, texels, binned, fbc, fbd)
+        if deferred_mode:
+            info = {}
+            hint = ks.get(d)
+            fbc, fbd = render_dc(render_state, texels, binned, fbc, fbd,
+                                 info=info, blend_k=hint or None,
+                                 overflow_out=pending if hint else None)
+            ks[d] = info["blend_k"]
+        else:
+            fbc, fbd = render_dc(render_state, texels, binned, fbc, fbd)
         if stats is not None:
             from ..runtime import perf as perf_mod
 
@@ -158,7 +177,17 @@ def render_trace(trace: cgltrace.CGLTrace, width: int, height: int,
             stats.add_traffic(perf_mod.drawcall_traffic(
                 binned, render_state, counts=counts))
 
-    return np.asarray(fbc)[:height, :width]
+    out = np.asarray(fbc)[:height, :width]
+    if deferred_mode and pending:
+        # frame already materialized above, so these scalar fetches are
+        # free; overflow only happens if the trace content changed under
+        # a cached K (re-measure once)
+        if any(int(mc) > k for k, mc in pending):
+            trace._blend_k_cache.pop((width, height, tile_logsize), None)
+            return render_trace(trace, width, height, tile_logsize,
+                                start_draw, end_draw, None, mode,
+                                measure_traffic)
+    return out
 
 
 def render_scene(name: str, width: int, height: int, **kw) -> np.ndarray:

@@ -393,6 +393,70 @@ def build_clusters(bvh: BVH, max_tris: int = 64):
     }
 
 
+def build_block_set(bvh: BVH, tri_block: int = 256, top_size: int = 64):
+    """Cut the BVH into fixed-slot triangle blocks + a group-AABB pyramid.
+
+    The large-scene Pallas worklist kernel (ops.pallas_rt.closest_hit_bvh)
+    streams fixed-size blocks of `tri_block` record rows from HBM.  This
+    builder makes those blocks BVH treelets (build_clusters at tri_block
+    granularity), so every block has the TIGHT AABB of a real subtree —
+    the hierarchical analog of the raster unit's recursive extent reject
+    (/root/reference/sim/common/graphics.cpp:743-797): candidate work per
+    ray block shrinks with the tree cut instead of with flat
+    Morton-order chunks (VERDICT r3 #1).
+
+    On top of the blocks sits a pyramid of 8^l consecutive-block group
+    AABBs (blocks follow treelet order, so consecutive blocks are
+    spatially coherent).  The conservative prepass uses it to bound a
+    ray block's worklist LENGTH: a ray block whose exact block list
+    overflows the kernel's SMEM-resident entry table falls back to
+    coarser contiguous-range entries — always correct, at worst slower.
+    Levels stop once a level has <= top_size groups, so the top level
+    always fits any entry table with >= top_size slots.
+
+    Returns dict:
+      aabb_levels  [np (C_l, 6) f32]  level-0 = per-block AABBs
+      bcnt         (C,) i32           real triangles per block
+      slot_to_prim (C * tri_block,) i32  record row -> original prim (-1 pad)
+      tri_block, num_blocks
+    """
+    cl = build_clusters(bvh, max_tris=tri_block)
+    first = cl["first"].astype(np.int64)
+    count = cl["count"].astype(np.int64)
+    order = cl["order"].astype(np.int64)
+    aabb6 = cl["aabb"][:, :6].astype(np.float32)        # (C, 6)
+    C = first.shape[0]
+
+    slot_to_prim = np.full((C * tri_block,), -1, np.int64)
+    offs = np.concatenate([np.arange(c) for c in count]) \
+        if C else np.zeros((0,), np.int64)
+    b_idx = np.repeat(np.arange(C), count)
+    slot_to_prim[b_idx * tri_block + offs] = order[
+        np.concatenate([np.arange(f, f + c) for f, c in zip(first, count)])
+        if C else np.zeros((0,), np.int64)]
+
+    levels = [aabb6]
+    while levels[-1].shape[0] > top_size:
+        prev = levels[-1]
+        n = prev.shape[0]
+        npad = -(-n // 8) * 8
+        lo = np.full((npad, 3), np.inf, np.float32)
+        hi = np.full((npad, 3), -np.inf, np.float32)
+        lo[:n] = prev[:, 0:3]
+        hi[:n] = prev[:, 3:6]
+        levels.append(np.concatenate(
+            [lo.reshape(-1, 8, 3).min(1), hi.reshape(-1, 8, 3).max(1)],
+            axis=1))
+
+    return {
+        "aabb_levels": levels,
+        "bcnt": count.astype(np.int32),
+        "slot_to_prim": slot_to_prim.astype(np.int32),
+        "tri_block": tri_block,
+        "num_blocks": C,
+    }
+
+
 def _aabb_hit(bmin, bmax, orig, inv_dir, t_best):
     """Slab test; robust to inf inv_dir (axis-parallel rays)."""
     t0 = (bmin - orig) * inv_dir

@@ -57,8 +57,10 @@ class RTConfig:
     textured: bool = False
     use_bvh: bool = True          # legacy toggle: False forces engine=brute
     # engine: 'pallas' (blocked VMEM kernel — the TPU deployment path for
-    # scenes <= ~15k tris; auto-falls-back to 'pallas_worklist' beyond),
-    # 'pallas_worklist' (per-ray-block worklists, in-kernel HBM DMA),
+    # scenes <= ~15k tris; auto-falls-back to 'pallas_bvh' beyond),
+    # 'pallas_bvh' (BVH-treelet blocks + conservative-interval worklists,
+    # in-kernel HBM DMA — the large-scene path, round 4),
+    # 'pallas_worklist' (flat-prepass worklists — kept for comparison),
     # 'pallas_streamed' (dense (G, NB) grid — kept for comparison),
     # 'bvh' (stackless lockstep traversal), 'brute' (XLA all-pairs oracle)
     engine: str = "pallas"
@@ -144,10 +146,30 @@ def make_intersectors(scene: RTScene, cfg: RTConfig):
     engine = cfg.engine if cfg.use_bvh else "brute"
     if engine == "pallas" and scene.faces.shape[0] > PALLAS_MAX_TRIS:
         # the blocked kernel keeps the whole triangle array VMEM-resident
-        # (ops/pallas_rt.py docstring) — large scenes walk per-ray-block
-        # worklists with in-kernel HBM DMA instead
-        engine = "pallas_worklist"
-    if engine in ("pallas_streamed", "pallas_worklist"):
+        # (ops/pallas_rt.py docstring) — large scenes walk BVH-treelet
+        # worklists with in-kernel HBM DMA instead (round 4: replaces the
+        # flat pallas_worklist prepass, VERDICT r3 #1)
+        engine = "pallas_bvh"
+    if engine == "pallas_bvh":
+        from ..ops import pallas_rt
+        import jax
+
+        interpret = jax.devices()[0].platform not in ("tpu",)
+        block_set = bvh_mod.build_block_set(scene.bvh, tri_block=256)
+        blocks = pallas_rt.prepare_bvh_blocks(*tri, block_set)
+
+        def closest(o, d, t_max=jnp.inf):
+            tm = None if t_max is jnp.inf else jnp.broadcast_to(
+                jnp.asarray(t_max, F32), o.shape[:1])
+            return pallas_rt.closest_hit_bvh(o, d, blocks, t_max=tm,
+                                             interpret=interpret)
+
+        def occluded(o, d, t_max):
+            tm = jnp.broadcast_to(jnp.asarray(t_max, F32), o.shape[:1])
+            prim, _, _, _ = pallas_rt.closest_hit_bvh(
+                o, d, blocks, t_max=tm, interpret=interpret)
+            return prim >= 0
+    elif engine in ("pallas_streamed", "pallas_worklist"):
         from ..ops import pallas_rt
         import jax
 
@@ -330,11 +352,13 @@ def make_frame_fn(scene: RTScene, cam: Camera, cfg: RTConfig):
     closest, occluded = make_intersectors(scene, cfg)
     o, d = camera_rays(cam, cfg.width, cfg.height)
 
-    # pixel-tile ray ordering (static permutation) makes every 1024-ray
-    # kernel block a compact screen tile — what makes the clustered
-    # kernel's whole-tile AABB skips fire; unsort only the final image
+    # pixel-tile ray ordering (static permutation) makes every kernel ray
+    # block a compact screen tile — what makes the whole-tile AABB
+    # skips/gates fire in every Pallas engine (clustered AND the
+    # worklist family, whose per-ray-block active lists shrink with
+    # bundle coherence); unsort only the final image
     inv_j = None
-    if (cfg.engine if cfg.use_bvh else "brute") == "pallas":
+    if (cfg.engine if cfg.use_bvh else "brute").startswith("pallas"):
         perm, inv = wavefront.tile_order_perm(cfg.width, cfg.height, 32)
         o, d = o[perm], d[perm]
         inv_j = jnp.asarray(inv)

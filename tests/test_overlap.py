@@ -183,3 +183,103 @@ def test_schedule_report_parser():
     rep = overlap.collective_schedule_report(hlo)
     assert rep == [("%ar0", 2)]
     assert overlap.count_all_reduces(hlo) == 1
+
+
+@pytest.mark.parametrize("n_buckets", [1, 3])
+def test_two_level_psum_matches_flat(n_buckets):
+    """2-level (ICI reduce-scatter -> DCN all-reduce -> ICI all-gather)
+    equals a flat psum over both axes.  Integer-valued f32 data makes the
+    comparison EXACT (addition-order independent), proving the
+    decomposition reduces every element exactly once per device."""
+    if len(jax.devices()) < 4:
+        pytest.skip("need a 2x2 mesh")
+    mesh = mesh_mod.make_mesh_2d(2, min(len(jax.devices()), 8) // 2)
+    axes = tuple(mesh.axis_names)
+    n = int(np.prod(mesh.devices.shape))
+    rng = np.random.default_rng(9)
+    tree = {
+        "a": jnp.asarray(rng.integers(-50, 50, size=(33, 4))
+                         .astype(np.float32)),
+        "b": jnp.asarray(rng.integers(-50, 50, size=(7,))
+                         .astype(np.float32)),
+        "c": jnp.asarray(rng.integers(-50, 50, size=(16, 16, 4))
+                         .astype(np.float32)),
+    }
+    stacked = jax.tree.map(
+        lambda x: jnp.stack([x * (i + 1) for i in range(n)]).reshape(
+            mesh.devices.shape + x.shape), tree)
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(*axes),), out_specs=P(),
+                       check_vma=False)
+    def two_level(t):
+        local = jax.tree.map(lambda x: x[0, 0], t)
+        return overlap.two_level_psum(local, dcn_axis=axes[0],
+                                      ici_axis=axes[1],
+                                      n_buckets=n_buckets)
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(*axes),), out_specs=P(),
+                       check_vma=False)
+    def flat(t):
+        local = jax.tree.map(lambda x: x[0, 0], t)
+        return jax.tree.map(lambda g: jax.lax.psum(g, axes), local)
+
+    got = two_level(stacked)
+    ref = flat(stacked)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        got, ref)
+
+
+def test_two_level_psum_per_axis_collectives_in_hlo():
+    """The lowered HLO shows the per-axis split: reduce-scatter +
+    all-gather (ICI axis) and a separate all-reduce (DCN shard) — the
+    SURVEY §2.8 artifact that distinguishes this from a flat psum."""
+    if len(jax.devices()) < 4:
+        pytest.skip("need a 2x2 mesh")
+    mesh = mesh_mod.make_mesh_2d(2, 2)
+    axes = tuple(mesh.axis_names)
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(P(*axes),),
+                       out_specs=P(), check_vma=False)
+    def two_level(x):
+        return overlap.two_level_psum(
+            {"g": x[0, 0]}, dcn_axis=axes[0], ici_axis=axes[1])["g"]
+
+    x = jnp.zeros((2, 2, 64), jnp.float32)
+    text = jax.jit(two_level).lower(x).as_text()
+    assert ("reduce_scatter" in text) or ("reduce-scatter" in text), text
+    assert ("all_gather" in text) or ("all-gather" in text)
+    assert overlap.count_all_reduces(text) >= 1      # the DCN stage
+
+
+def test_train_step_two_level_matches_flat():
+    """End-to-end: the 2-D-mesh training step with grad_collective=
+    'two_level' matches the flat-psum step (loss + params)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("need a 2x2 mesh")
+    n = min(len(jax.devices()), 8)
+    mesh = mesh_mod.make_mesh_2d(2, n // 2)
+    params, indices = scenes.triangle()
+    params = {k: jnp.asarray(v) for k, v in params.items()}
+    cfg = pipeline.DiffRenderConfig(width=32, height=32, tile_logsize=4)
+    static = dbin.bin_static(np.asarray(params["pos"]), indices, 32, 32,
+                             tile_logsize=4)
+    sharded = tile_shard.shard_tiles(static, n)
+    arrays = {k: jnp.asarray(v) for k, v in sharded.items()}
+    tt = jnp.zeros((sharded["tile_xy"].shape[0], 16, 16, 4), jnp.float32)
+
+    bad = dict(params)
+    bad["color"] = jnp.full_like(params["color"], 0.25)
+    p_2l, loss_2l, _ = tile_shard.make_train_step(
+        mesh, cfg, grad_collective="two_level")(bad, arrays, tt)
+    p_fl, loss_fl, _ = tile_shard.make_train_step(
+        mesh, cfg)(bad, arrays, tt)
+    np.testing.assert_allclose(float(loss_2l), float(loss_fl), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), rtol=1e-5,
+                                                atol=1e-7),
+        p_2l, p_fl)

@@ -235,3 +235,111 @@ def test_worklist_multiblock_small_block():
         o, d, *tri, order=clusters["order"], interpret=INTERPRET)
     np.testing.assert_array_equal(np.asarray(p_s), np.asarray(p_w))
     np.testing.assert_allclose(np.asarray(t_s), np.asarray(t_w), rtol=1e-6)
+
+
+def _bvh_blocks(verts, faces, tri_block=32):
+    from skybox_rt_tpu.rt import bvh as bvh_mod
+
+    tri = intersect.triangle_arrays(jnp.asarray(verts), jnp.asarray(faces))
+    bvh = bvh_mod.build(verts, faces)
+    bs = bvh_mod.build_block_set(bvh, tri_block=tri_block)
+    return tri, pallas_rt.prepare_bvh_blocks(*tri, bs), bs
+
+
+def _multi_sphere(n=4, subdiv=2, seed=5):
+    rng = np.random.default_rng(seed)
+    vs, fs = [], []
+    off = 0
+    for i in range(n):
+        v, f = scenes.icosphere(subdiv=subdiv,
+                                radius=0.4 + 0.2 * rng.random())
+        v = v + rng.normal(size=(1, 3)) * 1.2
+        vs.append(v.astype(np.float32))
+        fs.append(f + off)
+        off += v.shape[0]
+    v = np.concatenate(vs)
+    return (v - v.mean(0, keepdims=True)).astype(np.float32), \
+        np.concatenate(fs).astype(np.int64)
+
+
+def test_bvh_worklist_matches_bruteforce():
+    """Hierarchical (BVH-treelet) worklist kernel vs brute force on a
+    multi-object scene with many small blocks (tri_block=32 -> dozens of
+    blocks, several DMA iterations per ray block)."""
+    verts, faces = _multi_sphere(n=4, subdiv=2)       # 1280 tris
+    tri, blocks, _ = _bvh_blocks(verts, faces, tri_block=32)
+    o, d = _rays(1500, seed=31)
+    p_b, t_b, _, _ = intersect.closest_hit_bruteforce(o, d, *tri)
+    p_w, t_w, _, _ = pallas_rt.closest_hit_bvh(o, d, blocks,
+                                               interpret=INTERPRET)
+    p_b_, p_w_ = np.asarray(p_b), np.asarray(p_w)
+    assert ((p_b_ >= 0) == (p_w_ >= 0)).all()
+    hits = p_b_ >= 0
+    assert hits.mean() > 0.2
+    np.testing.assert_allclose(np.asarray(t_w)[hits], np.asarray(t_b)[hits],
+                               rtol=1e-5)
+    diff = hits & (p_b_ != p_w_)
+    assert diff.mean() < 0.01          # exact-t ties only
+    np.testing.assert_allclose(np.asarray(t_w)[diff], np.asarray(t_b)[diff],
+                               rtol=1e-5)
+
+
+def test_bvh_worklist_level_fallback():
+    """Incoherent ray bundles activate more blocks than the L-entry table
+    holds, forcing coarser 8^l range entries — parity must hold through
+    the fallback (L=64 with ~80 blocks active per bundle)."""
+    verts, faces = _multi_sphere(n=6, subdiv=2, seed=11)   # 1920 tris
+    tri, blocks, bs = _bvh_blocks(verts, faces, tri_block=16)
+    assert bs["num_blocks"] > 64                # level-0 can overflow L
+    assert len(bs["aabb_levels"]) >= 2
+    o, d = _rays(1200, seed=37)                 # random -> huge cone
+    p_b, t_b, _, _ = intersect.closest_hit_bruteforce(o, d, *tri)
+    p_w, t_w, _, _ = pallas_rt.closest_hit_bvh(o, d, blocks, L=64,
+                                               interpret=INTERPRET)
+    p_b_, p_w_ = np.asarray(p_b), np.asarray(p_w)
+    assert ((p_b_ >= 0) == (p_w_ >= 0)).all()
+    hits = p_b_ >= 0
+    np.testing.assert_allclose(np.asarray(t_w)[hits], np.asarray(t_b)[hits],
+                               rtol=1e-5)
+
+
+def test_bvh_worklist_tmax_and_parked():
+    """Per-ray t_max plus parked dead rays (origin 3e7, the bounce
+    re-compaction convention): parked rays must neither hit nor blow up
+    the conservative ray-block bounds for live rays in the same block."""
+    verts, faces = _multi_sphere(n=3, subdiv=2, seed=13)
+    tri, blocks, _ = _bvh_blocks(verts, faces, tri_block=32)
+    o, d = _rays(600, seed=41)
+    o_np, d_np = np.array(o), np.array(d)
+    park = np.arange(600) % 3 == 0              # interleave parked rays
+    o_np[park] = 3e7
+    d_np[park] = 0.57735
+    o, d = jnp.asarray(o_np), jnp.asarray(d_np)
+    tm = jnp.full((600,), 2.5, jnp.float32)
+    p_b, t_b, _, _ = intersect.closest_hit_bruteforce(o, d, *tri, t_max=2.5)
+    p_w, t_w, _, _ = pallas_rt.closest_hit_bvh(o, d, blocks, t_max=tm,
+                                               interpret=INTERPRET)
+    p_b_, p_w_ = np.asarray(p_b), np.asarray(p_w)
+    assert (p_w_[park] < 0).all()
+    assert ((p_b_ >= 0) == (p_w_ >= 0)).all()
+    hits = p_b_ >= 0
+    np.testing.assert_allclose(np.asarray(t_w)[hits], np.asarray(t_b)[hits],
+                               rtol=1e-5)
+
+
+def test_bvh_worklist_id_order_parity():
+    """front_to_back=False (id-order entries) is exact too."""
+    verts, faces = _multi_sphere(n=3, subdiv=2, seed=17)
+    tri, blocks, _ = _bvh_blocks(verts, faces, tri_block=32)
+    o, d = _rays(500, seed=43)
+    p_f, t_f, _, _ = pallas_rt.closest_hit_bvh(o, d, blocks,
+                                               interpret=INTERPRET)
+    p_i, t_i, _, _ = pallas_rt.closest_hit_bvh(o, d, blocks,
+                                               front_to_back=False,
+                                               interpret=INTERPRET)
+    p_b, _, _, _ = intersect.closest_hit_bruteforce(o, d, *tri)
+    hits = np.asarray(p_b) >= 0
+    assert ((np.asarray(p_f) >= 0) == hits).all()
+    assert ((np.asarray(p_i) >= 0) == hits).all()
+    np.testing.assert_allclose(np.asarray(t_f)[hits], np.asarray(t_i)[hits],
+                               rtol=1e-6)
