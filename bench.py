@@ -82,7 +82,18 @@ def _headline(jax):
         mpix = SIZE * SIZE * num_draws * FRAMES / elapsed / 1e6
         runs.append(round(mpix, 1))
     med = float(np.median(runs))
-    return med, max(runs), mode, runs
+    # roofline of the frame at the median rate (VERDICT r3 missing #4)
+    roof = None
+    try:
+        from skybox_rt_tpu.runtime import perf as perf_mod
+        sec = SIZE * SIZE * num_draws / (med * 1e6)
+        r = perf_mod.roofline_of_fn(frame, arrays, seconds=sec)
+        roof = {"bound_by": r["bound_by"],
+                "pct_of_roofline": round(r["pct_of_roofline"], 1),
+                "achieved_gb_per_s": round(r["achieved_gb_per_s"], 1)}
+    except Exception:
+        pass
+    return med, max(runs), mode, runs, roof
 
 
 def _draw1024(jax):
@@ -137,6 +148,15 @@ def _draw1024(jax):
         jax.block_until_ready(fb)
         dt = (time.perf_counter() - t0) / n
         out[vis] = round(W * H / dt / 1e6, 1)
+        if vis == "xla":
+            try:
+                from skybox_rt_tpu.runtime import perf as perf_mod
+                r = perf_mod.roofline_of_fn(run, seconds=dt)
+                out["roofline_xla"] = {
+                    "bound_by": r["bound_by"],
+                    "pct_of_roofline": round(r["pct_of_roofline"], 1)}
+            except Exception:
+                pass
     return out
 
 
@@ -190,30 +210,79 @@ def _fwd_bwd(jax):
     t0 = time.perf_counter()
     out = jax.block_until_ready(loop(params))
     wall = time.perf_counter() - t0
-    return SZ * SZ * STEPS / wall / 1e6
+    roof = None
+    try:
+        from skybox_rt_tpu.runtime import perf as perf_mod
+        r = perf_mod.roofline_of_fn(loop, params, seconds=wall)
+        roof = {"bound_by": r["bound_by"],
+                "pct_of_roofline": round(r["pct_of_roofline"], 1)}
+    except Exception:
+        pass
+    return SZ * SZ * STEPS / wall / 1e6, roof
+
+
+def _rt_northstar(jax):
+    """1024^2 multi-bounce RT over the >=100k-tri sphere field in ONE
+    frame dispatch (scripts/rt_northstar_bench.py protocol; BASELINE.md
+    scaling-row scene class).  e2e Mrays/s over all launches
+    (primary + shadow + bounces*(closest + shadow))."""
+    from skybox_rt_tpu.models import scenes
+    from skybox_rt_tpu.rt import tracer
+
+    W = H = 1024
+    verts, faces, colors = scenes.sphere_field(copies=9, subdiv=5)
+    scene = tracer.RTScene(verts=verts, faces=faces, colors=colors,
+                           reflectivity=0.35)
+    cam = tracer.Camera(eye=(0.0, 2.5, 9.5), look_at=(0.0, -0.4, 0.0),
+                        fov_y_deg=55.0)
+    cfg = tracer.RTConfig(width=W, height=H, bounces=2, shadows=True)
+    frame, (o, d) = tracer.make_frame_fn(scene, cam, cfg)
+    img = jax.block_until_ready(frame(o, d))
+    n = 3
+    t0 = time.perf_counter()
+    for _ in range(n):
+        img = frame(o, d)
+    jax.block_until_ready(img)
+    dt = (time.perf_counter() - t0) / n
+    return W * H * (2 + 2 * cfg.bounces) / dt / 1e6
 
 
 def main():
     import jax
 
-    mpix_s, best, mode, runs = _headline(jax)
+    mpix_s, best, mode, runs, roof = _headline(jax)
     extra = {"mode": mode, "headline_runs": runs,
              "headline_best": round(best, 1)}
+    if roof is not None:
+        extra["headline_roofline"] = roof
     try:
         d = _draw1024(jax)
+        roof = d.pop("roofline_xla", None)
         # headline field keeps the best mode (continuity with r3);
         # per-mode numbers make it attributable vs the PERF.md table
         extra["draw1024_mpix_s"] = max(d.values())
         for vis, v in d.items():
             extra[f"draw1024_{vis}_mpix_s"] = v
+        if roof is not None:
+            extra["draw1024_roofline_xla"] = roof
     except Exception as e:       # standing artifact must not kill the bench
         extra["draw1024_mpix_s"] = None
         extra["draw1024_error"] = type(e).__name__
     try:
-        extra["fwd_bwd_512_mpix_s"] = round(_fwd_bwd(jax), 2)
+        fb_rate, fb_roof = _fwd_bwd(jax)
+        extra["fwd_bwd_512_mpix_s"] = round(fb_rate, 2)
+        if fb_roof is not None:
+            extra["fwd_bwd_roofline"] = fb_roof
     except Exception as e:
         extra["fwd_bwd_512_mpix_s"] = None
         extra["fwd_bwd_error"] = type(e).__name__
+    if jax.devices()[0].platform == "tpu":     # worklist kernel path
+        try:
+            extra["rt_multibounce_1024_mrays_s"] = round(_rt_northstar(jax),
+                                                         1)
+        except Exception as e:
+            extra["rt_multibounce_1024_mrays_s"] = None
+            extra["rt_northstar_error"] = type(e).__name__
 
     print(json.dumps({
         "metric": f"draw3d_{SCENE}_{SIZE}x{SIZE}_fwd",

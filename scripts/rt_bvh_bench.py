@@ -41,7 +41,11 @@ def main():
     ]
     tri_blocks = [int(x) for x in
                   os.environ.get("TRI_BLOCKS", "256").split(",")]
+    L = int(os.environ.get("WORKLIST_L", "256"))
+    only = os.environ.get("CASES")
     for name, subdiv, copies, method in cases:
+        if only and name not in only.split(","):
+            continue
         verts, faces = multi_sphere(subdiv, copies)
         P = faces.shape[0]
         tri = intersect.triangle_arrays(jnp.asarray(verts),
@@ -62,7 +66,7 @@ def main():
             tm = pallas_rt._pack_tmax(None, G, sub=4)
             levels = tuple(blocks["levels"])
             pre = jax.jit(lambda r, t: pallas_rt._conservative_entry_lists(
-                r, t, levels, 256))
+                r, t, levels, L))
             _, ec, tot = pre(rays, tm)
             jax.block_until_ready(tot)
             tp = timeit(lambda: pre(rays, tm))
@@ -73,8 +77,9 @@ def main():
                   f"(bvh {t_build:.1f}s cut {t_cut:.1f}s)", flush=True)
 
             t0 = time.perf_counter()
-            t = timeit(lambda: pallas_rt.closest_hit_bvh(o_t, d_t, blocks))
-            print(f"bvh-worklist {name} P={P} tb={tb}: {t*1e3:.2f} ms  "
+            t = timeit(lambda: pallas_rt.closest_hit_bvh(o_t, d_t, blocks,
+                                                         L=L))
+            print(f"bvh-worklist {name} P={P} tb={tb} L={L}: {t*1e3:.2f} ms  "
                   f"{R/t/1e6:.1f} Mrays/s  "
                   f"(compile+run1 {time.perf_counter()-t0:.0f}s)",
                   flush=True)

@@ -103,3 +103,36 @@ def mesh_grid_plane(n=8, y=-1.0, half=4.0):
             d = c + 1
             faces += [(a, b, c), (b, d, c)]
     return verts.astype(F32), np.array(faces, np.int32)
+
+
+def sphere_field(copies=9, subdiv=5, spacing=2.4, ground=True, seed=0):
+    """Multi-object north-star RT scene: a grid of icospheres over a
+    ground plane (BASELINE.md scaling row: 1024x1024 multi-bounce,
+    >=100k tris).  copies=9 @ subdiv=5 -> 184k sphere tris + plane.
+
+    Returns (verts (V,3) f32, faces (P,3) i32, colors (V,4) f32)."""
+    rng = np.random.default_rng(seed)
+    sv, sf = icosphere(subdiv=subdiv, radius=0.9)
+    grid = int(np.ceil(np.sqrt(copies)))
+    vs, fs, cs = [], [], []
+    off = 0
+    for i in range(copies):
+        dx = (i % grid - (grid - 1) / 2) * spacing
+        dz = (i // grid - (grid - 1) / 2) * spacing
+        vs.append(sv + np.asarray([dx, 0.0, dz], F32))
+        fs.append(sf + off)
+        tint = rng.uniform(0.3, 1.0, size=3).astype(F32)
+        cs.append(np.concatenate(
+            [np.tile(tint, (sv.shape[0], 1)),
+             np.ones((sv.shape[0], 1), F32)], 1))
+        off += sv.shape[0]
+    if ground:
+        gv, gf = mesh_grid_plane(n=16, y=-1.0,
+                                 half=spacing * (grid + 1) / 2)
+        vs.append(gv)
+        fs.append(gf + off)
+        cs.append(np.tile(np.asarray([[0.7, 0.7, 0.75, 1.0]], F32),
+                          (gv.shape[0], 1)))
+    return (np.concatenate(vs).astype(F32),
+            np.concatenate(fs).astype(np.int32),
+            np.concatenate(cs).astype(F32))

@@ -362,15 +362,27 @@ def build_clusters(bvh: BVH, max_tris: int = 64):
     """
     aabbs, firsts, counts = [], [], []
 
+    # subtree (first, count) for every node in ONE reverse sweep:
+    # build() appends children after parents, so a reverse index sweep
+    # sees both children before their parent (no recursion — the naive
+    # per-node recursion is quadratic and took minutes at 1M prims)
+    N = bvh.num_nodes
+    sub_first = bvh.node_first.astype(np.int64).copy()
+    sub_count = bvh.node_count.astype(np.int64).copy()
+    internal = bvh.node_count == 0
+    for i in range(N - 1, -1, -1):
+        if internal[i]:
+            l, r = bvh.node_left[i], bvh.node_right[i]
+            lo = min(sub_first[l], sub_first[r])
+            c = sub_count[l] + sub_count[r]
+            assert max(sub_first[l] + sub_count[l],
+                       sub_first[r] + sub_count[r]) - lo == c, \
+                "non-contiguous"
+            sub_first[i] = lo
+            sub_count[i] = c
+
     def subtree_range(ni):
-        # (first, count) covered by node ni
-        if bvh.node_count[ni] > 0:
-            return int(bvh.node_first[ni]), int(bvh.node_count[ni])
-        f0, c0 = subtree_range(bvh.node_left[ni])
-        f1, c1 = subtree_range(bvh.node_right[ni])
-        lo = min(f0, f1)
-        assert max(f0 + c0, f1 + c1) - lo == c0 + c1, "non-contiguous"
-        return lo, c0 + c1
+        return int(sub_first[ni]), int(sub_count[ni])
 
     stack = [0]
     while stack:

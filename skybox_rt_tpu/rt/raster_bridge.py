@@ -142,6 +142,20 @@ def _run_engine(tri, o, d, engine: str):
     if engine == "brute":
         prim, t, u, v = intersect.closest_hit_bruteforce(
             o, d, v0, e1, e2, t_min=1e-6)
+    elif engine == "pallas_bvh":
+        # the hierarchical worklist kernel (ops.pallas_rt.closest_hit_bvh)
+        # on production CGLTrace geometry — BASELINE.json configs[2]
+        import jax
+
+        from ..ops import pallas_rt
+        verts = tri.reshape(-1, 3)
+        faces = np.arange(verts.shape[0], dtype=np.int64).reshape(-1, 3)
+        bvh = bvh_mod.build_sah(verts, faces)
+        bs = bvh_mod.build_block_set(bvh, tri_block=64)
+        blocks = pallas_rt.prepare_bvh_blocks(v0, e1, e2, bs)
+        prim, t, u, v = pallas_rt.closest_hit_bvh(
+            o, d, blocks, t_min=1e-6,
+            interpret=jax.devices()[0].platform != "tpu")
     else:
         verts = tri.reshape(-1, 3)
         faces = np.arange(verts.shape[0], dtype=np.int64).reshape(-1, 3)

@@ -70,6 +70,74 @@ def cost_analysis(fn, *args, **kwargs) -> dict:
     return out
 
 
+# TPU v5e per-chip peaks (public numbers, jax-ml.github.io/scaling-book
+# hardware table): the "speed of light" the BASELINE.md throughput target
+# is measured against.  f32 dense math runs the MXU at half the bf16 rate.
+V5E_PEAKS = {
+    "bf16_flops_per_s": 1.97e14,
+    "f32_flops_per_s": 9.85e13,
+    "hbm_bytes_per_s": 8.19e11,
+}
+
+
+def roofline(flops: float, bytes_accessed: float, seconds: float,
+             peaks: dict = V5E_PEAKS, flops_key: str = "f32_flops_per_s"
+             ) -> dict:
+    """Roofline placement of one measured kernel/program (VERDICT r3
+    missing #4; the reference analog is the per-unit counter report,
+    /root/reference/runtime/stub/utils.cpp:159-340).
+
+    flops/bytes_accessed: program totals (e.g. cost_analysis output);
+    seconds: measured wall/device time.  Returns achieved rates, the
+    percent-of-peak on each axis, the arithmetic intensity vs the ridge
+    point, and which roof bounds the program.  pct_of_roofline is the
+    honest "how far from speed-of-light" number: achieved rate on the
+    BINDING axis over that axis's peak.
+    """
+    f_rate = flops / seconds
+    b_rate = bytes_accessed / seconds
+    pk_f = peaks[flops_key]
+    pk_b = peaks["hbm_bytes_per_s"]
+    intensity = flops / max(bytes_accessed, 1.0)
+    ridge = pk_f / pk_b
+    compute_bound = intensity >= ridge
+    pct = (f_rate / pk_f if compute_bound else b_rate / pk_b) * 100.0
+    return {
+        "flops": flops,
+        "bytes_accessed": bytes_accessed,
+        "seconds": seconds,
+        "achieved_tflops_per_s": f_rate / 1e12,
+        "achieved_gb_per_s": b_rate / 1e9,
+        "pct_of_flop_peak": f_rate / pk_f * 100.0,
+        "pct_of_hbm_peak": b_rate / pk_b * 100.0,
+        "arith_intensity_flops_per_byte": intensity,
+        "ridge_flops_per_byte": ridge,
+        "bound_by": "flops" if compute_bound else "hbm",
+        "pct_of_roofline": pct,
+    }
+
+
+def roofline_of_fn(fn, *args, seconds: float, **kwargs) -> dict:
+    """cost_analysis + roofline in one call for a jittable fn whose
+    measured per-call time is `seconds`."""
+    cost = cost_analysis(fn, *args, **kwargs)
+    return roofline(cost["flops"], cost["bytes_accessed"], seconds)
+
+
+def format_roofline_table(rows: dict) -> str:
+    """rows: {name: roofline dict} -> aligned text table."""
+    lines = [f"{'path':<28} {'ms':>8} {'TF/s':>7} {'GB/s':>7} "
+             f"{'%FLOP':>6} {'%HBM':>6} {'bound':>6} {'%roof':>6}"]
+    for name, r in rows.items():
+        lines.append(
+            f"{name:<28} {r['seconds']*1e3:>8.3f} "
+            f"{r['achieved_tflops_per_s']:>7.2f} "
+            f"{r['achieved_gb_per_s']:>7.1f} "
+            f"{r['pct_of_flop_peak']:>6.1f} {r['pct_of_hbm_peak']:>6.1f} "
+            f"{r['bound_by']:>6} {r['pct_of_roofline']:>6.1f}")
+    return "\n".join(lines)
+
+
 def drawcall_traffic(binned, render_state, counts: dict | None = None) -> dict:
     """Memory-traffic model for one binned drawcall.
 

@@ -40,3 +40,25 @@ def test_sharded_matches_single(n, engine, shadows, bounces):
     mesh = mesh_mod.make_mesh(n)
     got = np.asarray(ray_shard.render_sharded(scene, CAM, cfg, mesh))
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_sharded_northstar_config_matches_single():
+    """The north-star scene class (multi-object sphere field + ground,
+    multi-bounce + shadows, pallas_bvh engine) ray-sharded over the CPU
+    mesh == the single-device frame (VERDICT r3 #2 correctness leg;
+    scripts/rt_northstar_bench.py runs the same config at 1024^2 on
+    chip)."""
+    n = min(4, len(jax.devices()))
+    if n < 2:
+        pytest.skip("not enough devices")
+    verts, faces, colors = scenes.sphere_field(copies=4, subdiv=2)
+    scene = tracer.RTScene(verts=verts, faces=faces, colors=colors,
+                           reflectivity=0.35)
+    cam = tracer.Camera(eye=(0.0, 2.5, 9.5), look_at=(0.0, -0.4, 0.0),
+                        fov_y_deg=55.0)
+    cfg = tracer.RTConfig(width=48, height=40, bounces=2, shadows=True,
+                          engine="pallas_bvh")
+    ref = np.asarray(tracer.render(scene, cam, cfg))
+    mesh = mesh_mod.make_mesh(n)
+    got = np.asarray(ray_shard.render_sharded(scene, cam, cfg, mesh))
+    np.testing.assert_allclose(got, ref, atol=1e-6)

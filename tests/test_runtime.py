@@ -200,3 +200,38 @@ def test_cost_analysis():
     c = perf_mod.cost_analysis(f, a)
     assert c["flops"] >= 2 * 64 * 64 * 64 * 0.5   # within cost-model slack
     assert c["bytes_accessed"] > 0
+
+
+def test_roofline_placement():
+    """Roofline math (runtime.perf.roofline): axis selection, percents,
+    and the ridge point."""
+    from skybox_rt_tpu.runtime import perf as perf_mod
+
+    pk = perf_mod.V5E_PEAKS
+    # HBM-bound: 1 flop/byte << ridge
+    r = perf_mod.roofline(1e9, 1e9, seconds=1e-2)
+    assert r["bound_by"] == "hbm"
+    assert abs(r["pct_of_hbm_peak"] - 1e11 / pk["hbm_bytes_per_s"] * 100) \
+        < 1e-6
+    assert r["pct_of_roofline"] == r["pct_of_hbm_peak"]
+    # compute-bound: intensity far above the ridge
+    r2 = perf_mod.roofline(1e13, 1e9, seconds=1e-1)
+    assert r2["bound_by"] == "flops"
+    assert r2["pct_of_roofline"] == r2["pct_of_flop_peak"]
+    assert r2["arith_intensity_flops_per_byte"] > r2["ridge_flops_per_byte"]
+    # table formatting smoke
+    txt = perf_mod.format_roofline_table({"p": r, "q": r2})
+    assert "hbm" in txt and "flops" in txt
+
+
+def test_roofline_of_fn_cpu():
+    import jax
+    import jax.numpy as jnp
+    from skybox_rt_tpu.runtime import perf as perf_mod
+
+    def f(x):
+        return (x @ x).sum()
+
+    x = jnp.ones((128, 128), jnp.float32)
+    r = perf_mod.roofline_of_fn(f, x, seconds=1e-3)
+    assert r["flops"] > 0 and r["seconds"] == 1e-3
