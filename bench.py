@@ -221,6 +221,29 @@ def _fwd_bwd(jax):
     return SZ * SZ * STEPS / wall / 1e6, roof
 
 
+def _rt_config3(jax):
+    """BASELINE.json configs[2] standing artifact: vase (textured meshes
+    + translucent blended layers) at 512^2 through the BVH RT path
+    (rt.raster_bridge engine=pallas_bvh, perspective camera; blended
+    draws run the exact submission-order fragment scan).  Returns
+    ms/frame (host loop included — the bridge is an eager per-draw
+    renderer)."""
+    from skybox_rt_tpu.geom import cgltrace
+    from skybox_rt_tpu.rt import raster_bridge
+
+    trace = cgltrace.load_cached(cgltrace.trace_path("vase"))
+    img = raster_bridge.render_trace_rt(trace, 512, 512,
+                                        engine="pallas_bvh",
+                                        camera="perspective")   # warmup
+    t0 = time.perf_counter()
+    img = raster_bridge.render_trace_rt(trace, 512, 512,
+                                        engine="pallas_bvh",
+                                        camera="perspective")
+    dt = time.perf_counter() - t0
+    assert np.isfinite(img).all()
+    return dt * 1e3
+
+
 def _rt_northstar(jax):
     """1024^2 multi-bounce RT over the >=100k-tri sphere field in ONE
     frame dispatch (scripts/rt_northstar_bench.py protocol; BASELINE.md
@@ -283,6 +306,11 @@ def main():
         except Exception as e:
             extra["rt_multibounce_1024_mrays_s"] = None
             extra["rt_northstar_error"] = type(e).__name__
+        try:
+            extra["rt_config3_512_ms"] = round(_rt_config3(jax), 1)
+        except Exception as e:
+            extra["rt_config3_512_ms"] = None
+            extra["rt_config3_error"] = type(e).__name__
 
     print(json.dumps({
         "metric": f"draw3d_{SCENE}_{SIZE}x{SIZE}_fwd",

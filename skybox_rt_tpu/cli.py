@@ -195,11 +195,16 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("-w", "--width", type=int, default=256)
     t.add_argument("-H", "--height", type=int, default=256)
     t.add_argument("-o", "--output", default="rt_out.png")
-    t.add_argument("--scene", choices=("sphere", "sphere-plane"),
-                   default="sphere-plane")
+    t.add_argument("--scene", choices=("sphere", "sphere-plane",
+                                       "sphere-field"),
+                   default="sphere-plane",
+                   help="sphere-field = the north-star 185k-tri "
+                        "multi-object scene (BASELINE.md scaling row)")
     t.add_argument("--bounces", type=int, default=1)
     t.add_argument("--no-shadows", action="store_true")
-    t.add_argument("--engine", choices=("pallas", "bvh", "brute"),
+    t.add_argument("--engine",
+                   choices=("pallas", "pallas_bvh", "pallas_worklist",
+                            "bvh", "brute"),
                    default="pallas")
     t.set_defaults(fn=_cmd_rt)
 
@@ -272,6 +277,13 @@ def _cmd_rt(args) -> int:
     from .models import scenes as scn
     from .rt import tracer
 
+    if args.scene == "sphere-field":
+        verts, faces, colors = scn.sphere_field(copies=9, subdiv=5)
+        scene = tracer.RTScene(verts=verts, faces=faces, colors=colors,
+                               reflectivity=0.35)
+        cam = tracer.Camera(eye=(0.0, 2.5, 9.5), look_at=(0.0, -0.4, 0.0),
+                            fov_y_deg=55.0)
+        return _run_rt(args, scene, cam)
     verts, faces = scn.icosphere(subdiv=3)
     colors = np.tile(np.array([[0.8, 0.3, 0.25, 1.0]], np.float32),
                      (verts.shape[0], 1))
@@ -287,6 +299,16 @@ def _cmd_rt(args) -> int:
                            faces=faces.astype(np.int32),
                            colors=colors, reflectivity=0.3)
     cam = tracer.Camera(eye=(0.0, 0.6, 3.2), look_at=(0.0, -0.1, 0.0))
+    return _run_rt(args, scene, cam)
+
+
+def _run_rt(args, scene, cam) -> int:
+    import jax
+    import numpy as np
+    from PIL import Image
+
+    from .rt import tracer
+
     cfg = tracer.RTConfig(width=args.width, height=args.height,
                           bounces=args.bounces,
                           shadows=not args.no_shadows, engine=args.engine,

@@ -988,16 +988,20 @@ def _conservative_entry_lists(rays, tmax_arr, levels, L,
         cnt = jnp.sum(active, axis=1).astype(I32)
         span = 8 ** lvl
         idx = jnp.arange(Cl, dtype=I32)
-        # front-to-back vs id order resolved in the sort KEY (one argsort)
+        # front-to-back vs id order resolved in the sort KEY; top_k
+        # keeps only the L needed entries (full argsort over (G, C) was
+        # 30-50 % of the prepass at C ~ 10k)
         use_ftb = (jnp.sum(cnt) > ftb_min_mean * G) & bool(front_to_back)
         key = jnp.where(active,
                         jnp.where(use_ftb, tn_lb, idx[None].astype(F32)),
                         INF)
-        sel = jnp.argsort(key, axis=1)[:, :L].astype(I32)      # (G, <=L)
+        k = min(L, Cl)
+        _, sel = jax.lax.top_k(-key, k)                        # ascending
+        sel = sel.astype(I32)
         starts = sel * span
         entries = (jnp.int32(lvl) << ENTRY_LEVEL_SHIFT) | starts
-        if entries.shape[1] < L:                               # Cl < L
-            entries = jnp.pad(entries, ((0, 0), (0, L - entries.shape[1])))
+        if k < L:                                              # Cl < L
+            entries = jnp.pad(entries, ((0, 0), (0, L - k)))
         lens = jnp.where(active, jnp.minimum(span, C - idx[None] * span), 0)
         per_level.append((entries, cnt, jnp.sum(lens, axis=1).astype(I32)))
 
@@ -1200,6 +1204,159 @@ def closest_hit_bvh(orig, direction, blocks, t_max=None,
     u = jnp.where(miss, 0.0, bu.reshape(Rp)[:R])
     v = jnp.where(miss, 0.0, bv.reshape(Rp)[:R])
     return prim, t, u, v
+
+
+def _make_bvh_anyhit_kernel(t_min: float, tri_block: int, num_blocks: int):
+    """Occlusion twin of the BVH worklist kernel: no best-hit record —
+    an occluded ray's window is collapsed (tmax -> -inf) so the embedded
+    slab gate skips blocks for it automatically, and the worklist loop
+    itself exits once EVERY ray in the tile is occluded (the whole-tile
+    early-out of any_hit_clustered, scaled to HBM-streamed scenes)."""
+    C = num_blocks
+
+    def kernel(wl_ref, ec_ref, tc_ref, bcnt_ref,
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               tmax_ref,
+               tri_hbm,
+               occ_ref,                            # out (1, sub*8, 128) i32
+               win_ref, tri_vmem, sem):            # VMEM window + DMA bufs
+        g = pl.program_id(0)
+        total = tc_ref[g]
+        occ_ref[0] = jnp.zeros(occ_ref.shape[1:], I32)
+        win_ref[:] = tmax_ref[0]                   # live hit window
+
+        def entry_len(e):
+            ent = wl_ref[g, e]
+            span = jnp.int32(1) << (3 * (ent >> ENTRY_LEVEL_SHIFT))
+            return jnp.minimum(span, C - (ent & ENTRY_START_MASK))
+
+        def blk(e, off):
+            return (wl_ref[g, e] & ENTRY_START_MASK) + off
+
+        def advance(e, off):
+            wrap = off + 1 >= entry_len(e)
+            return (jnp.where(wrap, e + 1, e),
+                    jnp.where(wrap, 0, off + 1))
+
+        def get_dma(slot, b):
+            return pltpu.make_async_copy(
+                tri_hbm.at[pl.ds(b * tri_block, tri_block), :],
+                tri_vmem.at[slot],
+                sem.at[slot])
+
+        @pl.when(total > 0)
+        def _warm():
+            get_dma(0, blk(0, 0)).start()
+
+        ox = ox_ref[0]
+        oy = oy_ref[0]
+        oz = oz_ref[0]
+        dx = dx_ref[0]
+        dy = dy_ref[0]
+        dz = dz_ref[0]
+        inv_dx = _inv_dir(dx)
+        inv_dy = _inv_dir(dy)
+        inv_dz = _inv_dir(dz)
+
+        def cond(carry):
+            p, e, off, alive = carry
+            return (p < total) & alive
+
+        def body(carry):
+            p, e, off, _ = carry
+            slot = jax.lax.rem(p, 2)
+            ne, noff = advance(e, off)
+
+            @pl.when(p + 1 < total)
+            def _next():
+                get_dma(1 - slot, blk(ne, noff)).start()
+
+            get_dma(slot, blk(e, off)).wait()
+            trs = tri_vmem.at[slot]
+
+            tn, tf = _slab_embedded(trs[0], ox, oy, oz,
+                                    inv_dx, inv_dy, inv_dz, win_ref[:])
+
+            @pl.when(jnp.any(tn <= tf))
+            def _():
+                nt = bcnt_ref[blk(e, off)]
+
+                def step(h, _):
+                    for s in range(8):
+                        j = h * 8 + s
+                        hit, _, _, _ = _mt_one(ox, oy, oz, dx, dy, dz,
+                                               trs[j], t_min, win_ref[:])
+                        occ_ref[0] = jnp.where(hit, 1, occ_ref[0])
+                        # collapse the hit window: the ray stops gating
+                        # blocks in, and once all windows collapse the
+                        # while cond ends the worklist walk
+                        win_ref[:] = jnp.where(hit, -jnp.inf, win_ref[:])
+                    return 0
+
+                jax.lax.fori_loop(0, (nt + 7) // 8, step, 0)
+
+            alive = jnp.any(win_ref[:] > -jnp.inf)
+            return p + 1, ne, noff, alive
+
+        jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.int32(0), jnp.int32(0), total > 0))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("t_min", "tri_block",
+                                             "num_blocks", "sub", "L",
+                                             "interpret"))
+def _bvh_anyhit_call(rays, tri, tmax_arr, levels, bcnt, t_min, tri_block,
+                     num_blocks, sub, L, interpret):
+    G = rays[0].shape[0]
+    # occlusion has no benefit from front-to-back (any hit ends the ray);
+    # id-order entries skip the distance keys
+    wl, ec, total = _conservative_entry_lists(rays, tmax_arr, levels, L,
+                                              front_to_back=False)
+    kernel = _make_bvh_anyhit_kernel(t_min, tri_block, num_blocks)
+    ray_spec = pl.BlockSpec((1, sub * 8, LANES), lambda g, *_: (g, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(G,),
+        in_specs=[ray_spec] * 7 + [
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=ray_spec,
+        scratch_shapes=[
+            pltpu.VMEM((sub * 8, LANES), F32),
+            pltpu.VMEM((2, tri_block, LANES), F32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G, sub * 8, LANES), I32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(wl, ec, total, bcnt, *rays, tmax_arr, tri)
+
+
+def any_hit_bvh(orig, direction, blocks, t_max=1.0, t_min: float = 1e-4,
+                sub: int = 4, L: int = 256, interpret: bool = False):
+    """Occlusion query through the hierarchical worklist path with a
+    whole-tile early-out (shadow-ray twin of closest_hit_bvh).
+    Returns (R,) bool."""
+    if L < 64:
+        raise ValueError("L must be >= 64")
+    rays, R, Rp, G = _pack_rays(orig, direction, sub=sub)
+    tm = (jnp.full((orig.shape[0],), t_max, F32) if jnp.ndim(t_max) == 0
+          else jnp.asarray(t_max, F32))
+    tmax_arr = _pack_tmax(tm, G, sub=sub)
+    occ = _bvh_anyhit_call(rays, blocks["tri"], tmax_arr,
+                           tuple(blocks["levels"]), blocks["bcnt"], t_min,
+                           blocks["tri_block"], blocks["num_blocks"],
+                           sub, L, interpret)
+    return occ.reshape(Rp)[:R] > 0
 
 
 def _make_clustered_anyhit_kernel(num_clusters: int, t_min: float):

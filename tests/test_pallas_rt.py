@@ -343,3 +343,27 @@ def test_bvh_worklist_id_order_parity():
     assert ((np.asarray(p_i) >= 0) == hits).all()
     np.testing.assert_allclose(np.asarray(t_f)[hits], np.asarray(t_i)[hits],
                                rtol=1e-6)
+
+
+def test_bvh_anyhit_matches_bruteforce():
+    """any_hit_bvh (collapsed-window early-out) vs the brute-force
+    occlusion oracle, scalar and per-ray t_max, incl. parked rays."""
+    verts, faces = _multi_sphere(n=4, subdiv=2, seed=19)
+    tri, blocks, _ = _bvh_blocks(verts, faces, tri_block=32)
+    o, d = _rays(900, seed=47)
+    occ_b = intersect.any_hit_bruteforce(o, d, *tri, t_max=2.0)
+    occ_w = pallas_rt.any_hit_bvh(o, d, blocks, t_max=2.0,
+                                  interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(occ_b), np.asarray(occ_w))
+    # per-ray t_max + parked rays
+    o_np, d_np = np.array(o), np.array(d)
+    park = np.arange(900) % 4 == 0
+    o_np[park] = 3e7
+    d_np[park] = 0.57735
+    o2, d2 = jnp.asarray(o_np), jnp.asarray(d_np)
+    tm = jnp.asarray((np.arange(900) % 3 + 1).astype(np.float32))
+    occ_b2 = intersect.any_hit_bruteforce(o2, d2, *tri, t_max=tm[:, None])
+    occ_w2 = pallas_rt.any_hit_bvh(o2, d2, blocks, t_max=tm,
+                                   interpret=INTERPRET)
+    assert not np.asarray(occ_w2)[park].any()
+    np.testing.assert_array_equal(np.asarray(occ_b2), np.asarray(occ_w2))
