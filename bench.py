@@ -160,9 +160,11 @@ def _draw1024(jax):
     return out
 
 
-def _fwd_bwd(jax):
+def _fwd_bwd(jax, mode="hard"):
     """512^2 deferred diff pipeline, compiled 10-step loop
-    (scripts/diff_chip_bench.py protocol)."""
+    (scripts/diff_chip_bench.py protocol).  mode: hard | alpha | soft —
+    the differentiable-coverage modes use auto-measured slot counts
+    (pipeline.auto_slots; VERDICT r3 #3)."""
     import jax.numpy as jnp
 
     from skybox_rt_tpu.diff import binning as dbin
@@ -182,16 +184,19 @@ def _fwd_bwd(jax):
         "uv": jnp.asarray(rng.uniform(0.0, 1.0, (V, 2)).astype(np.float32)),
         "tex": jnp.asarray(scenes.checkerboard_texture(64, 8)),
     }
-    cfg = pipeline.DiffRenderConfig(width=SZ, height=SZ, tile_logsize=TL,
-                                    depth_test=True, textured=True,
-                                    modulate=True)
+    cfg = pipeline.DiffRenderConfig(
+        width=SZ, height=SZ, tile_logsize=TL, depth_test=True,
+        textured=True, modulate=True,
+        alpha_blend=(mode == "alpha"),
+        soft_edge_temp=0.7 if mode == "soft" else 0.0)
     static = dbin.bin_static(pos, faces.astype(np.int32), SZ, SZ,
                              tile_logsize=TL)
     static = {k: jnp.asarray(v) for k, v in static.items()}
     target = jnp.zeros((SZ, SZ, 4), jnp.float32)
+    slots = 8 if mode == "hard" else pipeline.auto_slots(params, static, cfg)
 
     def loss_fn(params):
-        img, _ = pipeline.render_deferred(params, static, cfg, slots=8)
+        img, _ = pipeline.render_deferred(params, static, cfg, slots=slots)
         return jnp.sum((img[:SZ, :SZ] - target) ** 2)
 
     grad_fn = jax.value_and_grad(loss_fn)
@@ -299,6 +304,15 @@ def main():
     except Exception as e:
         extra["fwd_bwd_512_mpix_s"] = None
         extra["fwd_bwd_error"] = type(e).__name__
+    # differentiable-coverage modes (VERDICT r3 #3), auto slot counts
+    for m, key in (("soft", "fwd_bwd_softedge_512_mpix_s"),
+                   ("alpha", "fwd_bwd_alpha_512_mpix_s")):
+        try:
+            rate, _ = _fwd_bwd(jax, mode=m)
+            extra[key] = round(rate, 2)
+        except Exception as e:
+            extra[key] = None
+            extra[f"fwd_bwd_{m}_error"] = type(e).__name__
     if jax.devices()[0].platform == "tpu":     # worklist kernel path
         try:
             extra["rt_multibounce_1024_mrays_s"] = round(_rt_northstar(jax),

@@ -58,13 +58,14 @@ def build(subdiv=4):
     return params, static, cfg, faces.shape[0]
 
 
-def make_loop(static, cfg, deferred, lr=1e-6):
+def make_loop(static, cfg, deferred, lr=1e-6, slots=8):
     target = jnp.zeros((-(-SIZE // (1 << TILE_LOG)) * (1 << TILE_LOG),) * 2
                        + (4,), jnp.float32)
 
     def loss_fn(params):
         if deferred:
-            img, _ = pipeline.render_deferred(params, static, cfg, slots=8)
+            img, _ = pipeline.render_deferred(params, static, cfg,
+                                              slots=slots)
         else:
             img = pipeline.render(params, static, cfg)
         return jnp.sum((img - target) ** 2)

@@ -46,7 +46,11 @@ def main():
         "soft(0.7) ": dataclasses.replace(cfg, soft_edge_temp=0.7),
     }
     for name, c in modes.items():
-        bench(name, make_loop(static, c, True), params)
+        bench(name + " K=8   ", make_loop(static, c, True), params)
+        if not name.startswith("hard"):
+            k = pipeline.auto_slots(params, static, c)
+            bench(f"{name} K={k}auto",
+                  make_loop(static, c, True, slots=k), params)
 
 
 if __name__ == "__main__":

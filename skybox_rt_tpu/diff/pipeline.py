@@ -689,48 +689,47 @@ def shade_slots(setup, tile_pids, slot_steps, origins,
     fb_rgba = jnp.broadcast_to(
         jnp.asarray(cfg.background, F32), (T, ts, ts, 4)).astype(F32)
     K = slot_steps.shape[-1]
-    # ALL K slots shade in one batch (VERDICT r3 #3): ONE record gather
-    # (one one-hot matmul / one transpose accumulation instead of K),
-    # ONE quad-texture sample (one texgrad-kernel launch in the
-    # backward), K-batched elementwise interpolation; only the cheap
-    # composite fold below stays sequential in k (blend order matters).
-    # Per-slot math is elementwise-identical to the per-k version, so
-    # hard mode (K=1) stays exactly equal to render_tile_set.
-    live_all = slot_steps >= 0                      # (T, ts, ts, K)
-    r = gather_tile_rows(rec_tile, jnp.maximum(slot_steps, 0))
-    xsk = xs[..., None]
-    ysk = ys[..., None]
-    e = r[..., :9].reshape(*slot_steps.shape, 3, 3)
-    e0 = e[..., 0, 0] * xsk + e[..., 0, 1] * ysk + e[..., 0, 2]
-    e1 = e[..., 1, 0] * xsk + e[..., 1, 1] * ysk + e[..., 1, 2]
-    e2 = e[..., 2, 0] * xsk + e[..., 2, 1] * ysk + e[..., 2, 2]
-    b0, b1, b2 = _barycentrics(e0, e1, e2)
-    c = r[..., 9:21].reshape(*slot_steps.shape, 3, 4)
-    col = (c[..., 0, :] * b0[..., None] + c[..., 1, :] * b1[..., None]
-           + c[..., 2, :] * b2[..., None])
-    if cfg.textured:
-        t = r[..., 21:27].reshape(*slot_steps.shape, 3, 2)
-        uvp = (t[..., 0, :] * b0[..., None]
-               + t[..., 1, :] * b1[..., None]
-               + t[..., 2, :] * b2[..., None])
-        texel = sample_texture_bilinear_quad(
-            tex_quad, uvp[..., 0], uvp[..., 1])
-        col = col * texel if cfg.modulate else texel
-    if cfg.soft_edge_temp > 0:
-        temp = F32(cfg.soft_edge_temp)
-        dmin = jnp.minimum(jnp.minimum(e0, e1), e2)
-        cov_w_all = jnp.where(live_all, jax.nn.sigmoid(dmin / temp), 0.0)
-    else:
-        cov_w_all = live_all.astype(F32)
+    # Per-slot loop, NOT a K-batched gather: batching the K slots into
+    # one gather interleaves the slot streams per pixel — consecutive
+    # gather indices then come from DIFFERENT prims, which destroys the
+    # uv/row coherence XLA's gather fast path needs (measured on chip:
+    # K=8 alpha 38.9 -> 50 ms/step when batched; the coherent per-k
+    # streams win, same lesson as the int path's quad-table rejection,
+    # docs/performance.md).  The K-cost lever is the SLOT COUNT instead:
+    # measure_max_writes/auto_slots picks the scene's true K (shade work
+    # is K-proportional).
     for k in range(K):
-        live = live_all[..., k]
-        col_k = col[..., k, :]
-        cov_w = cov_w_all[..., k]
-        if cfg.alpha_blend:
-            a = col_k[..., 3:4] * cov_w[..., None]
-            new_rgba = col_k * a + fb_rgba * (1.0 - a)
+        s = slot_steps[..., k]                      # (T, ts, ts)
+        live = s >= 0
+        r = gather_tile_rows(rec_tile, jnp.maximum(s, 0))  # 1 row/pixel
+        p = s                                       # shapes only below
+        e = r[..., :9].reshape(*p.shape, 3, 3)
+        e0 = e[..., 0, 0] * xs + e[..., 0, 1] * ys + e[..., 0, 2]
+        e1 = e[..., 1, 0] * xs + e[..., 1, 1] * ys + e[..., 1, 2]
+        e2 = e[..., 2, 0] * xs + e[..., 2, 1] * ys + e[..., 2, 2]
+        b0, b1, b2 = _barycentrics(e0, e1, e2)
+        c = r[..., 9:21].reshape(*p.shape, 3, 4)
+        col = (c[..., 0, :] * b0[..., None] + c[..., 1, :] * b1[..., None]
+               + c[..., 2, :] * b2[..., None])
+        if cfg.textured:
+            t = r[..., 21:27].reshape(*p.shape, 3, 2)
+            uvp = (t[..., 0, :] * b0[..., None]
+                   + t[..., 1, :] * b1[..., None]
+                   + t[..., 2, :] * b2[..., None])
+            texel = sample_texture_bilinear_quad(
+                tex_quad, uvp[..., 0], uvp[..., 1])
+            col = col * texel if cfg.modulate else texel
+        if cfg.soft_edge_temp > 0:
+            temp = F32(cfg.soft_edge_temp)
+            d = jnp.minimum(jnp.minimum(e0, e1), e2)
+            cov_w = jnp.where(live, jax.nn.sigmoid(d / temp), 0.0)
         else:
-            new_rgba = (col_k * cov_w[..., None]
+            cov_w = live.astype(F32)
+        if cfg.alpha_blend:
+            a = col[..., 3:4] * cov_w[..., None]
+            new_rgba = col * a + fb_rgba * (1.0 - a)
+        else:
+            new_rgba = (col * cov_w[..., None]
                         + fb_rgba * (1.0 - cov_w[..., None]))
         fb_rgba = jnp.where(live[..., None], new_rgba, fb_rgba)
     return fb_rgba
@@ -800,6 +799,39 @@ def render_deferred(params, static, cfg: DiffRenderConfig, slots: int = 8,
         setup, static["tile_pids"], static["tile_xy"] * ts, cfg, slots,
         engine=engine)
     return _assemble(tiles, static["tile_xy"], cfg), maxw
+
+
+def measure_max_writes(params, static, cfg: DiffRenderConfig) -> int:
+    """The scene's per-pixel write-count ceiling under cfg's exact write
+    rules — ONE eager visibility pass (the K-slot `count` carry tallies
+    every write regardless of the slot capacity, so slots=1 suffices).
+
+    The diff twin of the int path's measured blend_k (ops.deferred):
+    K-slot shade work is K-proportional (measured 51.2 -> 27.7 ms/step
+    from K=8 -> 4 at 512^2, PERF.md round 4), so pick
+    ``slots = next_pow2(measure_max_writes(...))`` instead of a static 8
+    and render_deferred stays exact at a fraction of the cost.  Re-check
+    against render_deferred's max_writes output if the geometry moves
+    far during optimization.
+    """
+    if _is_hard(cfg):
+        return 1
+    ts = 1 << cfg.tile_logsize
+    setup = prim_setup(params, static["indices"], cfg)
+    _, maxw = visibility_slots(setup, static["tile_pids"],
+                               static["tile_xy"] * ts, cfg, slots=1)
+    return max(int(maxw), 1)
+
+
+def auto_slots(params, static, cfg: DiffRenderConfig,
+               headroom: int = 0) -> int:
+    """next-pow2 slot count for render_deferred (>= measured writes +
+    headroom), minimum 2 in non-hard modes."""
+    m = measure_max_writes(params, static, cfg) + headroom
+    k = 2
+    while k < m:
+        k *= 2
+    return k
 
 
 def render_cropped(params, static, cfg: DiffRenderConfig):

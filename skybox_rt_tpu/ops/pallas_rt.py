@@ -1298,9 +1298,17 @@ def _make_bvh_anyhit_kernel(t_min: float, tri_block: int, num_blocks: int):
             alive = jnp.any(win_ref[:] > -jnp.inf)
             return p + 1, ne, noff, alive
 
-        jax.lax.while_loop(
+        p, e, off, alive = jax.lax.while_loop(
             cond, body,
             (jnp.int32(0), jnp.int32(0), jnp.int32(0), total > 0))
+
+        # early exit leaves the NEXT block's prefetch in flight — every
+        # started DMA must be awaited or the program aborts at teardown
+        # (observed on chip: TPU backend ABORTED on the first
+        # fully-occluded tile)
+        @pl.when(p < total)
+        def _drain():
+            get_dma(jax.lax.rem(p, 2), blk(e, off)).wait()
 
     return kernel
 

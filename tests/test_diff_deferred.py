@@ -216,3 +216,32 @@ def test_kslot_multi_chunk_deep_overlap():
         # known scan-vs-deferred effect on dense scenes) is tolerated
         np.testing.assert_allclose(img_scan, np.asarray(img_def),
                                    atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("mode", [
+    dict(depth_test=True, alpha_blend=True),
+    dict(depth_test=True, soft_edge_temp=0.7),
+    dict(depth_test=False, alpha_blend=True),
+], ids=["blend", "soft", "blend_nodepth"])
+def test_auto_slots_exact(mode):
+    """auto_slots (the diff twin of the int path's measured blend_k,
+    VERDICT r3 #3): the measured slot count covers every pixel's writes,
+    so the deferred render equals the scan renderer — at a fraction of
+    the K=8 shade cost (K-proportional, PERF.md round 4)."""
+    params, static, cfg = _build(mode)
+    k = pipeline.auto_slots(params, static, cfg)
+    assert k >= 2
+    m = pipeline.measure_max_writes(params, static, cfg)
+    assert k >= m
+    ref = pipeline.render(params, static, cfg)
+    got, maxw = pipeline.render_deferred(params, static, cfg, slots=k)
+    assert int(maxw) == m            # the measurement is the true count
+    # same tolerance as test_deferred_forward_matches_scan (XLA fuses
+    # the two programs differently — fma contraction noise)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=2e-5)
+
+
+def test_auto_slots_hard_is_one():
+    params, static, cfg = _build(dict(depth_test=True))
+    assert pipeline.measure_max_writes(params, static, cfg) == 1
