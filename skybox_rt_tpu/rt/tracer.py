@@ -140,6 +140,46 @@ def _interp(attr_per_vertex, faces, prim, u, v):
     return a0 * w + a1 * u[..., None] + a2 * v[..., None]
 
 
+def _part1by2_i32(x):
+    """Spread 9 bits of x to every 3rd bit (int32 Morton helper)."""
+    x = x & 0x1FF
+    x = (x | (x << 16)) & 0x30000FF
+    x = (x | (x << 8)) & 0x300F00F
+    x = (x | (x << 4)) & 0x30C30C3
+    x = (x | (x << 2)) & 0x9249249
+    return x
+
+
+def _compact_key(active, o, d):
+    """Bounce re-compaction sort key: inactive rays last; active rays
+    grouped by direction OCTANT (sign-consistent bundles — the
+    conservative interval test can then cull on every axis) and ordered
+    by a 27-bit Morton code of the origin within the active bbox (bundle
+    origins stay local).  Reflected/shadow bundles formed from
+    consecutive sorted rays get tight (origin, direction) boxes, which
+    is what the worklist prepass culls with."""
+    oct_ = ((d[:, 0] > 0).astype(I32)
+            | ((d[:, 1] > 0).astype(I32) << 1)
+            | ((d[:, 2] > 0).astype(I32) << 2))
+    BIG = jnp.float32(3e38)
+    lo = jnp.min(jnp.where(active[:, None], o, BIG), axis=0)
+    hi = jnp.max(jnp.where(active[:, None], o, -BIG), axis=0)
+    scale = 512.0 / jnp.maximum(hi - lo, 1e-20)
+    q = jnp.clip(((o - lo) * scale), 0.0, 511.0).astype(I32)
+    m = (_part1by2_i32(q[:, 0]) << 2) | (_part1by2_i32(q[:, 1]) << 1) \
+        | _part1by2_i32(q[:, 2])
+    key = (oct_ << 27) | m
+    return jnp.where(active, key, jnp.int32(1) << 30)
+
+
+def _interp3(rows3, u, v):
+    """Barycentric interp of a (R, 3, C) per-corner slice (same math as
+    _interp on pre-gathered rows)."""
+    w = (1.0 - u - v)[..., None]
+    return rows3[:, 0] * w + rows3[:, 1] * u[..., None] \
+        + rows3[:, 2] * v[..., None]
+
+
 def make_intersectors(scene: RTScene, cfg: RTConfig):
     tri = intersect.triangle_arrays(jnp.asarray(scene.verts),
                                     jnp.asarray(scene.faces))
@@ -248,17 +288,24 @@ def shade_hits(scene_arrays, cfg: RTConfig, occluded, o, d, prim, t, u, v):
     """Lambert + optional texture + optional shadow for a hit batch.
 
     Returns (rgb (R,3), hit_mask (R,), hit_point, normal)."""
-    faces = scene_arrays["faces"]
     hit = prim >= 0
     pt = o + d * jnp.where(hit, t, 0.0)[..., None]
-    n = _interp(scene_arrays["normals"], faces, prim, u, v)
+    # ONE packed record row per hit instead of six per-corner vertex
+    # gathers (normals + colors [+ uvs] x 3 corners): multi-column f32
+    # row gathers dominated the shade stage at 1M rays (~104 ms of a
+    # 139 ms launch, PERF.md round 4) — the same packed-row lesson as
+    # the diff pipeline's (P, 27) record (diff/pipeline.shade_slots)
+    rec = scene_arrays["rec"]
+    r = rec[jnp.maximum(prim, 0)]                  # (R, 21 | 27)
+    R = r.shape[0]
+    n = _interp3(r[:, 0:9].reshape(R, 3, 3), u, v)
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
     # two-sided shading: flip normal against the incoming ray
     n = jnp.where(jnp.sum(n * d, -1, keepdims=True) > 0, -n, n)
 
-    albedo = _interp(scene_arrays["colors"], faces, prim, u, v)[..., :3]
+    albedo = _interp3(r[:, 9:21].reshape(R, 3, 4), u, v)[..., :3]
     if cfg.textured:
-        uv = _interp(scene_arrays["uvs"], faces, prim, u, v)
+        uv = _interp3(r[:, 21:27].reshape(R, 3, 2), u, v)
         texel = sample_texture_bilinear(scene_arrays["texture"],
                                         uv[..., 0], uv[..., 1])
         albedo = albedo * texel[..., :3]
@@ -268,7 +315,12 @@ def shade_hits(scene_arrays, cfg: RTConfig, occluded, o, d, prim, t, u, v):
     ndotl = jnp.maximum(jnp.sum(n * ldir, -1), 0.0)
 
     if cfg.shadows:
-        sh_o = pt + n * 1e-3
+        # park shadow rays of non-hit pixels (their ndotl is unused):
+        # misses stop gating triangle blocks in and fully-parked tiles
+        # skip the worklist walk outright (PARK_LIMIT contract,
+        # ops.pallas_rt._ray_block_bounds)
+        park_o = jnp.asarray([3e7, 3e7, 3e7], F32)
+        sh_o = jnp.where(hit[..., None], pt + n * 1e-3, park_o)
         sh_d = jnp.broadcast_to(ldir, sh_o.shape)
         blocked = occluded(sh_o, sh_d, 1e8)
         ndotl = jnp.where(blocked, 0.0, ndotl)
@@ -279,14 +331,19 @@ def shade_hits(scene_arrays, cfg: RTConfig, occluded, o, d, prim, t, u, v):
 
 
 def scene_shade_arrays(scene: RTScene, cfg: RTConfig) -> dict:
-    """The replicated per-scene arrays shade_hits consumes."""
-    scene_arrays = {
-        "faces": jnp.asarray(scene.faces),
-        "normals": jnp.asarray(scene.normals),
-        "colors": jnp.asarray(scene.colors),
-    }
+    """The replicated per-scene arrays shade_hits consumes: per-prim
+    packed attribute records [n0 n1 n2 | c0 c1 c2 | (uv0 uv1 uv2)] so
+    shading costs one row gather per ray."""
+    faces = np.asarray(scene.faces, np.int64)
+    P = faces.shape[0]
+    normals = np.asarray(scene.normals, np.float32)
+    colors = np.asarray(scene.colors, np.float32)
+    parts = [normals[faces].reshape(P, 9), colors[faces].reshape(P, 12)]
     if cfg.textured:
-        scene_arrays["uvs"] = jnp.asarray(scene.uvs)
+        parts.append(np.asarray(scene.uvs, np.float32)[faces]
+                     .reshape(P, 6))
+    scene_arrays = {"rec": jnp.asarray(np.concatenate(parts, axis=1))}
+    if cfg.textured:
         scene_arrays["texture"] = jnp.asarray(scene.texture)
     return scene_arrays
 
@@ -308,13 +365,18 @@ def trace_rays(scene_arrays, cfg: RTConfig, closest, occluded,
             rd = cur_d - 2.0 * jnp.sum(cur_d * cur_n, -1, keepdims=True) * cur_n
             ro = cur_o + cur_n * 1e-3
             if cfg.compact_bounces:
-                # re-compaction between bounces: stable-sort surviving rays
-                # to the front (preserving their tile-coherent order) and
-                # park dead rays at a far origin — contiguous dead blocks
-                # make the Pallas whole-tile skips fire, and traversal cost
-                # tracks the SURVIVING ray count, not the launch width.
+                # re-compaction between bounces: sort surviving rays to
+                # the front BY (direction octant, origin Morton) — see
+                # _compact_key — and park dead rays at a far origin.
+                # Contiguous dead blocks make the whole-tile skips fire,
+                # coherent live bundles tighten the conservative cones,
+                # and traversal cost tracks the SURVIVING ray count, not
+                # the launch width.  Shading (incl. the shadow launch)
+                # runs in the compacted order too, so shadow bundles
+                # inherit the same locality; outputs unsort at the end.
                 active = weight[..., 0] > 0
-                perm = jnp.argsort(~active, stable=True)
+                perm = jnp.argsort(_compact_key(active, ro, rd),
+                                   stable=True)
                 inv_perm = jnp.argsort(perm)
                 # park beyond any scene, heading away: every slab/triangle
                 # test fails with t_far < 0, so dead tiles skip wholesale
@@ -323,12 +385,14 @@ def trace_rays(scene_arrays, cfg: RTConfig, closest, occluded,
                 ro_c = jnp.where(active[..., None], ro, park_o)[perm]
                 rd_c = jnp.where(active[..., None], rd, park_d)[perm]
                 p2, t2, u2, v2 = closest(ro_c, rd_c)
-                p2, t2 = p2[inv_perm], t2[inv_perm]
-                u2, v2 = u2[inv_perm], v2[inv_perm]
+                rgb2, hit2, pt2, n2 = shade_hits(
+                    scene_arrays, cfg, occluded, ro_c, rd_c, p2, t2, u2, v2)
+                rgb2, pt2, n2 = rgb2[inv_perm], pt2[inv_perm], n2[inv_perm]
+                hit2 = hit2[inv_perm]
             else:
                 p2, t2, u2, v2 = closest(ro, rd)
-            rgb2, hit2, pt2, n2 = shade_hits(scene_arrays, cfg, occluded,
-                                             ro, rd, p2, t2, u2, v2)
+                rgb2, hit2, pt2, n2 = shade_hits(
+                    scene_arrays, cfg, occluded, ro, rd, p2, t2, u2, v2)
             bg = jnp.asarray(cfg.background[:3], F32)
             contrib = jnp.where(hit2[..., None], rgb2, bg)
             rgb = rgb * (1.0 - weight) + contrib * weight
