@@ -65,7 +65,10 @@ def _cmd_render(args) -> int:
 
         # roofline placement of the compiled single-dispatch frame
         # (VERDICT r3 #4: "is N Mpix/s fast?" answered against the v5e
-        # peaks; ≅ the reference's per-unit counter report)
+        # peaks) — bytes from the MEASURED per-unit traffic model above
+        # (≅ the reference's per-unit counter report; XLA's own
+        # bytes-accessed is a pre-fusion upper bound, perf.roofline_of_fn
+        # caveat)
         try:
             mode = args.mode if args.mode != "immediate" else "deferred"
             frame, arrays = driver.compile_frame(
@@ -78,7 +81,7 @@ def _cmd_render(args) -> int:
                 out = frame(arrays)
             jax.block_until_ready(out)
             dt = (time.perf_counter() - t0) / n
-            r = perf_mod.roofline_of_fn(frame, arrays, seconds=dt)
+            r = perf_mod.roofline_from_traffic(stats.traffic, seconds=dt)
             print(perf_mod.format_roofline_table(
                 {f"frame[{mode}] {args.width}x{args.height}": r}))
         except Exception as e:   # roofline is advisory, never fatal

@@ -119,9 +119,41 @@ def roofline(flops: float, bytes_accessed: float, seconds: float,
 
 def roofline_of_fn(fn, *args, seconds: float, **kwargs) -> dict:
     """cost_analysis + roofline in one call for a jittable fn whose
-    measured per-call time is `seconds`."""
+    measured per-call time is `seconds`.
+
+    CAVEAT (measured): XLA's `bytes accessed` counts every op's operand
+    bytes BEFORE fusion — on a fused graph it overstates real HBM
+    traffic by orders of magnitude (a 1024² draw modeled at ~88 GB), so
+    pct_of_roofline from this source is an inflated upper bound.  For
+    the render paths use `roofline_from_traffic` with the measured
+    per-unit traffic model instead (drawcall_traffic — the reference's
+    per-unit counter semantics)."""
     cost = cost_analysis(fn, *args, **kwargs)
-    return roofline(cost["flops"], cost["bytes_accessed"], seconds)
+    out = roofline(cost["flops"], cost["bytes_accessed"], seconds)
+    out["bytes_model"] = "xla_cost_analysis_prefusion_upper_bound"
+    return out
+
+
+def traffic_bytes(traffic: dict) -> int:
+    """Total modeled HBM bytes in a drawcall_traffic / FrameStats.traffic
+    dict (every *_bytes field, measured or upper-bound)."""
+    return int(sum(v for k, v in traffic.items() if k.endswith("_bytes")
+                   or "_bytes" in k))
+
+
+def roofline_from_traffic(traffic: dict, seconds: float,
+                          peaks: dict = V5E_PEAKS) -> dict:
+    """Roofline placement from the MEASURED unit-traffic model (tex/om/
+    raster bytes the reference's units would issue, ops.deferred
+    measured fragment counts): achieved useful-bytes/s vs the HBM peak —
+    the honest "how far from speed-of-light" number for the
+    bandwidth-bound render paths.  FLOPs are not modeled (the raster
+    path's integer VPU work is not the binding axis)."""
+    out = roofline(0.0, traffic_bytes(traffic), seconds, peaks=peaks)
+    out["bound_by"] = "hbm"
+    out["pct_of_roofline"] = out["pct_of_hbm_peak"]
+    out["bytes_model"] = "unit-traffic"
+    return out
 
 
 def format_roofline_table(rows: dict) -> str:

@@ -235,3 +235,15 @@ def test_roofline_of_fn_cpu():
     x = jnp.ones((128, 128), jnp.float32)
     r = perf_mod.roofline_of_fn(f, x, seconds=1e-3)
     assert r["flops"] > 0 and r["seconds"] == 1e-3
+
+
+def test_roofline_from_traffic():
+    from skybox_rt_tpu.runtime import perf as perf_mod
+
+    t = {"tex_mem_reads_bytes": 6_000_000, "om_mem_writes_bytes": 2_000_000,
+         "tiles": 24, "prims": 10}
+    assert perf_mod.traffic_bytes(t) == 8_000_000
+    r = perf_mod.roofline_from_traffic(t, seconds=1e-3)
+    assert r["bytes_model"] == "unit-traffic"
+    assert r["bound_by"] == "hbm"
+    assert abs(r["achieved_gb_per_s"] - 8.0) < 1e-6
