@@ -20,10 +20,19 @@ Headline protocol (r4): value = MEDIAN of REPS runs, vs_baseline on the
 median (the round-1 baseline was a single run, so the median — not the
 best — is the like-for-like comparison); extra.headline_best records the
 min-time noise-rejected best alongside.
+
+Stage isolation (r4): every stage runs in its OWN subprocess.  Measured:
+after the headline stage, the same process's eager 1024^2 draws ran
+~100x slow (19.9 Mpix/s) while a fresh process in the same window ran
+2400 — per-process dispatch-path degradation over the tunnel, not
+congestion.  Subprocesses also keep one stage's TPU abort from killing
+the whole artifact.
 """
 from __future__ import annotations
 
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -299,65 +308,117 @@ def _rt_northstar(jax):
     return W * H * (2 + 2 * cfg.bounces) / dt / 1e6
 
 
-def main():
+def _stage_headline(jax):
+    mpix_s, best, mode, runs, roof = _headline(jax)
+    out = {"value": round(mpix_s, 3), "mode": mode, "headline_runs": runs,
+           "headline_best": round(best, 1)}
+    if roof is not None:
+        out["headline_roofline"] = roof
+    return out
+
+
+def _stage_draw1024(jax):
+    d = _draw1024(jax)
+    roof = d.pop("roofline_xla", None)
+    # headline field keeps the best mode (continuity with r3); per-mode
+    # numbers make it attributable vs the PERF.md table
+    out = {"draw1024_mpix_s": max(d.values())}
+    for vis, v in d.items():
+        out[f"draw1024_{vis}_mpix_s"] = v
+    if roof is not None:
+        out["draw1024_roofline_xla"] = roof
+    return out
+
+
+def _stage_fwd_bwd(jax):
+    rate, roof = _fwd_bwd(jax)
+    out = {"fwd_bwd_512_mpix_s": round(rate, 2)}
+    if roof is not None:
+        out["fwd_bwd_roofline"] = roof
+    return out
+
+
+def _stage_fwd_bwd_soft(jax):
+    rate, _ = _fwd_bwd(jax, mode="soft")
+    return {"fwd_bwd_softedge_512_mpix_s": round(rate, 2)}
+
+
+def _stage_fwd_bwd_alpha(jax):
+    rate, _ = _fwd_bwd(jax, mode="alpha")
+    return {"fwd_bwd_alpha_512_mpix_s": round(rate, 2)}
+
+
+def _stage_rt_northstar(jax):
+    return {"rt_multibounce_1024_mrays_s": round(_rt_northstar(jax), 1)}
+
+
+def _stage_rt_config3(jax):
+    return {"rt_config3_512_ms": round(_rt_config3(jax), 1)}
+
+
+STAGES = {
+    "headline": (_stage_headline, 2400),
+    "draw1024": (_stage_draw1024, 1200),
+    "fwd_bwd": (_stage_fwd_bwd, 1200),
+    "fwd_bwd_soft": (_stage_fwd_bwd_soft, 1200),
+    "fwd_bwd_alpha": (_stage_fwd_bwd_alpha, 1200),
+    "rt_northstar": (_stage_rt_northstar, 1800),
+    "rt_config3": (_stage_rt_config3, 1800),
+}
+
+
+def _run_stage(name: str) -> int:
     import jax
 
-    mpix_s, best, mode, runs, roof = _headline(jax)
-    extra = {"mode": mode, "headline_runs": runs,
-             "headline_best": round(best, 1)}
-    if roof is not None:
-        extra["headline_roofline"] = roof
-    try:
-        d = _draw1024(jax)
-        roof = d.pop("roofline_xla", None)
-        # headline field keeps the best mode (continuity with r3);
-        # per-mode numbers make it attributable vs the PERF.md table
-        extra["draw1024_mpix_s"] = max(d.values())
-        for vis, v in d.items():
-            extra[f"draw1024_{vis}_mpix_s"] = v
-        if roof is not None:
-            extra["draw1024_roofline_xla"] = roof
-    except Exception as e:       # standing artifact must not kill the bench
-        extra["draw1024_mpix_s"] = None
-        extra["draw1024_error"] = type(e).__name__
-    try:
-        fb_rate, fb_roof = _fwd_bwd(jax)
-        extra["fwd_bwd_512_mpix_s"] = round(fb_rate, 2)
-        if fb_roof is not None:
-            extra["fwd_bwd_roofline"] = fb_roof
-    except Exception as e:
-        extra["fwd_bwd_512_mpix_s"] = None
-        extra["fwd_bwd_error"] = type(e).__name__
-    # differentiable-coverage modes (VERDICT r3 #3), auto slot counts
-    for m, key in (("soft", "fwd_bwd_softedge_512_mpix_s"),
-                   ("alpha", "fwd_bwd_alpha_512_mpix_s")):
+    fn, _ = STAGES[name]
+    print(json.dumps(fn(jax)))
+    return 0
+
+
+def main():
+    # every stage in its own subprocess (module docstring: per-process
+    # dispatch degradation + abort isolation); a failed stage records an
+    # error field instead of killing the artifact
+    results = {}
+    for name, (_, tmo) in STAGES.items():
+        if name.startswith("rt_"):
+            # worklist-kernel stages are TPU-only; cheap platform probe
+            # via env (the driver only runs bench.py on the chip, but
+            # CPU smoke runs must not hang in Mosaic interpret mode)
+            import jax
+            if jax.devices()[0].platform != "tpu":
+                continue
         try:
-            rate, _ = _fwd_bwd(jax, mode=m)
-            extra[key] = round(rate, 2)
+            proc = subprocess.run(
+                [sys.executable, __file__, "--stage", name],
+                capture_output=True, text=True, timeout=tmo)
+            line = proc.stdout.strip().splitlines()[-1]
+            results[name] = json.loads(line)
         except Exception as e:
-            extra[key] = None
-            extra[f"fwd_bwd_{m}_error"] = type(e).__name__
-    if jax.devices()[0].platform == "tpu":     # worklist kernel path
-        try:
-            extra["rt_multibounce_1024_mrays_s"] = round(_rt_northstar(jax),
-                                                         1)
-        except Exception as e:
-            extra["rt_multibounce_1024_mrays_s"] = None
-            extra["rt_northstar_error"] = type(e).__name__
-        try:
-            extra["rt_config3_512_ms"] = round(_rt_config3(jax), 1)
-        except Exception as e:
-            extra["rt_config3_512_ms"] = None
-            extra["rt_config3_error"] = type(e).__name__
+            results[name] = {"error": type(e).__name__}
+
+    head = results.get("headline", {})
+    mpix_s = head.pop("value", None)
+    extra = {}
+    for name, r in results.items():
+        if name == "headline":
+            extra.update(head)
+        elif "error" in r:
+            extra[f"{name}_error"] = r["error"]
+        else:
+            extra.update(r)
 
     print(json.dumps({
         "metric": f"draw3d_{SCENE}_{SIZE}x{SIZE}_fwd",
-        "value": round(mpix_s, 3),
+        "value": mpix_s,
         "unit": "Mpix/s",
-        "vs_baseline": round(mpix_s / ROUND1_BASELINE_MPIX_S, 3),
+        "vs_baseline": (round(mpix_s / ROUND1_BASELINE_MPIX_S, 3)
+                        if mpix_s else None),
         "extra": extra,
     }))
 
 
 if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
+        sys.exit(_run_stage(sys.argv[2]))
     main()
