@@ -80,17 +80,21 @@ def main():
     frame, (o, d) = tracer.make_frame_fn(scene, cam, cfg)
     img = jax.block_until_ready(frame(o, d))
     print(f"compile+first frame: {time.perf_counter()-t0:.0f}s", flush=True)
-    img_np = np.asarray(img)
-    assert np.isfinite(img_np).all()
-    cover = (img_np[..., :3].sum(-1) > 0).mean()
-    print(f"coverage: {cover:.3f}", flush=True)
 
+    # time BEFORE any device->host read: the axon tunnel permanently
+    # drops the process to synchronous dispatch after the first D2H
+    # transfer of any size (PERF.md round 4 — measured 0.04 -> 2.5-4 ms
+    # per dispatch), so image checks come after the timed loop
     n = 5
     t0 = time.perf_counter()
     for _ in range(n):
         img = frame(o, d)
     jax.block_until_ready(img)
     dt = (time.perf_counter() - t0) / n
+    img_np = np.asarray(img)
+    assert np.isfinite(img_np).all()
+    cover = (img_np[..., :3].sum(-1) > 0).mean()
+    print(f"coverage: {cover:.3f}", flush=True)
     # ray launches per frame: primary + shadow + bounces*(closest+shadow)
     rays = W * H * (2 + 2 * cfg.bounces)
     print(f"northstar 1024^2 x{cfg.bounces}bounce P={P}: {dt*1e3:.1f} "
