@@ -192,11 +192,13 @@ def _draw1024(jax):
     return out
 
 
-def _fwd_bwd(jax, mode="hard"):
+def _fwd_bwd(jax, mode="hard", probe_slots_only=False):
     """512^2 deferred diff pipeline, compiled 10-step loop
     (scripts/diff_chip_bench.py protocol).  mode: hard | alpha | soft —
     the differentiable-coverage modes use auto-measured slot counts
-    (pipeline.auto_slots; VERDICT r3 #3)."""
+    (pipeline.auto_slots; VERDICT r3 #3).  probe_slots_only: return
+    (auto_k, None) without timing (run in a throwaway subprocess so the
+    readback can't taint the timed stage)."""
     import jax.numpy as jnp
 
     from skybox_rt_tpu.diff import binning as dbin
@@ -225,7 +227,17 @@ def _fwd_bwd(jax, mode="hard"):
                              tile_logsize=TL)
     static = {k: jnp.asarray(v) for k, v in static.items()}
     target = jnp.zeros((SZ, SZ, 4), jnp.float32)
-    slots = 8 if mode == "hard" else pipeline.auto_slots(params, static, cfg)
+    if mode == "hard":
+        slots = 8
+    else:
+        # auto_slots does an int() readback, which would de-pipeline the
+        # process BEFORE the timed loop (PERF.md poison pill) — main()
+        # probes K in a separate subprocess and passes it through env
+        import os
+        slots = int(os.environ.get("SKYBOX_BENCH_SLOTS", "0")) \
+            or pipeline.auto_slots(params, static, cfg)
+    if probe_slots_only:
+        return pipeline.auto_slots(params, static, cfg), None
 
     def loss_fn(params):
         img, _ = pipeline.render_deferred(params, static, cfg, slots=slots)
@@ -348,6 +360,16 @@ def _stage_fwd_bwd_alpha(jax):
     return {"fwd_bwd_alpha_512_mpix_s": round(rate, 2)}
 
 
+def _stage_slots_soft(jax):
+    k, _ = _fwd_bwd(jax, mode="soft", probe_slots_only=True)
+    return {"slots": k}
+
+
+def _stage_slots_alpha(jax):
+    k, _ = _fwd_bwd(jax, mode="alpha", probe_slots_only=True)
+    return {"slots": k}
+
+
 def _stage_rt_northstar(jax):
     return {"rt_multibounce_1024_mrays_s": round(_rt_northstar(jax), 1)}
 
@@ -360,11 +382,16 @@ STAGES = {
     "headline": (_stage_headline, 2400),
     "draw1024": (_stage_draw1024, 1200),
     "fwd_bwd": (_stage_fwd_bwd, 1200),
+    "slots_soft": (_stage_slots_soft, 900),
     "fwd_bwd_soft": (_stage_fwd_bwd_soft, 1200),
+    "slots_alpha": (_stage_slots_alpha, 900),
     "fwd_bwd_alpha": (_stage_fwd_bwd_alpha, 1200),
     "rt_northstar": (_stage_rt_northstar, 1800),
     "rt_config3": (_stage_rt_config3, 1800),
 }
+
+# stages whose result feeds the NEXT stage's env instead of the artifact
+_PROBE_FOR = {"slots_soft": "fwd_bwd_soft", "slots_alpha": "fwd_bwd_alpha"}
 
 
 def _run_stage(name: str) -> int:
@@ -379,7 +406,10 @@ def main():
     # every stage in its own subprocess (module docstring: per-process
     # dispatch degradation + abort isolation); a failed stage records an
     # error field instead of killing the artifact
+    import os
+
     results = {}
+    env_extra = {}
     for name, (_, tmo) in STAGES.items():
         if name.startswith("rt_"):
             # worklist-kernel stages are TPU-only; cheap platform probe
@@ -388,14 +418,21 @@ def main():
             import jax
             if jax.devices()[0].platform != "tpu":
                 continue
+        env = dict(os.environ)
+        env.update(env_extra.pop(name, {}))
         try:
             proc = subprocess.run(
                 [sys.executable, __file__, "--stage", name],
-                capture_output=True, text=True, timeout=tmo)
+                capture_output=True, text=True, timeout=tmo, env=env)
             line = proc.stdout.strip().splitlines()[-1]
             results[name] = json.loads(line)
         except Exception as e:
             results[name] = {"error": type(e).__name__}
+        if name in _PROBE_FOR:
+            r = results.pop(name)
+            if "slots" in r:
+                env_extra[_PROBE_FOR[name]] = {
+                    "SKYBOX_BENCH_SLOTS": str(r["slots"])}
 
     head = results.get("headline", {})
     mpix_s = head.pop("value", None)
