@@ -42,6 +42,7 @@ def main():
     tri_blocks = [int(x) for x in
                   os.environ.get("TRI_BLOCKS", "256").split(",")]
     L = int(os.environ.get("WORKLIST_L", "256"))
+    SUB = int(os.environ.get("SUB", "4"))
     only = os.environ.get("CASES")
     for name, subdiv, copies, method in cases:
         if only and name not in only.split(","):
@@ -62,8 +63,8 @@ def main():
             C = bs["num_blocks"]
 
             # prepass diagnostics: conservative entry lists in isolation
-            rays, _, _, G = pallas_rt._pack_rays(o_t, d_t, sub=4)
-            tm = pallas_rt._pack_tmax(None, G, sub=4)
+            rays, _, _, G = pallas_rt._pack_rays(o_t, d_t, sub=SUB)
+            tm = pallas_rt._pack_tmax(None, G, sub=SUB)
             levels = tuple(blocks["levels"])
             pre = jax.jit(lambda r, t: pallas_rt._conservative_entry_lists(
                 r, t, levels, L))
@@ -78,8 +79,9 @@ def main():
 
             t0 = time.perf_counter()
             t = timeit(lambda: pallas_rt.closest_hit_bvh(o_t, d_t, blocks,
-                                                         L=L))
-            print(f"bvh-worklist {name} P={P} tb={tb} L={L}: {t*1e3:.2f} ms  "
+                                                         L=L, sub=SUB))
+            print(f"bvh-worklist {name} P={P} tb={tb} L={L} sub={SUB}: "
+                  f"{t*1e3:.2f} ms  "
                   f"{R/t/1e6:.1f} Mrays/s  "
                   f"(compile+run1 {time.perf_counter()-t0:.0f}s)",
                   flush=True)
