@@ -134,11 +134,47 @@ def _winner_tris(geo, key):
     return np.ascontiguousarray(tri.astype(np.float32))
 
 
-def _run_engine(tri, o, d, engine: str):
-    """Closest hit of rays (o, d) against `tri` (P, 3, 3) float32."""
+_ENGINE_PREP_CACHE: dict = {}
+
+
+def _engine_prep(tri, engine: str):
+    """Host acceleration-structure build for one triangle soup, cached by
+    content hash: repeated renders of the same trace (animation/bench
+    loops) skip the per-draw SAH rebuild."""
+    import hashlib
+
+    key = (engine, tri.shape[0],
+           hashlib.sha1(np.ascontiguousarray(tri).tobytes()).hexdigest())
+    hit = _ENGINE_PREP_CACHE.get(key)
+    if hit is not None:
+        return hit
     v0 = jnp.asarray(tri[:, 0])
     e1 = jnp.asarray(tri[:, 1] - tri[:, 0])
     e2 = jnp.asarray(tri[:, 2] - tri[:, 0])
+    prep = {"v0": v0, "e1": e1, "e2": e2}
+    if engine == "pallas_bvh":
+        from ..ops import pallas_rt
+        verts = tri.reshape(-1, 3)
+        faces = np.arange(verts.shape[0], dtype=np.int64).reshape(-1, 3)
+        bvh = bvh_mod.build_sah(verts, faces)
+        bs = bvh_mod.build_block_set(bvh, tri_block=64)
+        prep["blocks"] = pallas_rt.prepare_bvh_blocks(v0, e1, e2, bs)
+    elif engine != "brute":
+        verts = tri.reshape(-1, 3)
+        faces = np.arange(verts.shape[0], dtype=np.int64).reshape(-1, 3)
+        bvh = bvh_mod.build_sah(verts, faces)
+        prep["stackless"] = bvh.as_stackless_arrays()
+        prep["leaf_size"] = bvh.leaf_size
+    if len(_ENGINE_PREP_CACHE) > 256:      # bound the cache
+        _ENGINE_PREP_CACHE.clear()
+    _ENGINE_PREP_CACHE[key] = prep
+    return prep
+
+
+def _run_engine(tri, o, d, engine: str):
+    """Closest hit of rays (o, d) against `tri` (P, 3, 3) float32."""
+    prep = _engine_prep(tri, engine)
+    v0, e1, e2 = prep["v0"], prep["e1"], prep["e2"]
     if engine == "brute":
         prim, t, u, v = intersect.closest_hit_bruteforce(
             o, d, v0, e1, e2, t_min=1e-6)
@@ -148,21 +184,13 @@ def _run_engine(tri, o, d, engine: str):
         import jax
 
         from ..ops import pallas_rt
-        verts = tri.reshape(-1, 3)
-        faces = np.arange(verts.shape[0], dtype=np.int64).reshape(-1, 3)
-        bvh = bvh_mod.build_sah(verts, faces)
-        bs = bvh_mod.build_block_set(bvh, tri_block=64)
-        blocks = pallas_rt.prepare_bvh_blocks(v0, e1, e2, bs)
         prim, t, u, v = pallas_rt.closest_hit_bvh(
-            o, d, blocks, t_min=1e-6,
+            o, d, prep["blocks"], t_min=1e-6,
             interpret=jax.devices()[0].platform != "tpu")
     else:
-        verts = tri.reshape(-1, 3)
-        faces = np.arange(verts.shape[0], dtype=np.int64).reshape(-1, 3)
-        bvh = bvh_mod.build_sah(verts, faces)
         prim, t, u, v = bvh_mod.closest_hit_stackless(
-            bvh.as_stackless_arrays(), (v0, e1, e2), o, d,
-            t_min=1e-6, leaf_size=bvh.leaf_size)
+            prep["stackless"], (v0, e1, e2), o, d,
+            t_min=1e-6, leaf_size=prep["leaf_size"])
     return prim, u, v
 
 
@@ -285,6 +313,18 @@ def _sample_texture_wrap(tex, u, v, repeat: bool, bilinear: bool):
     return top * (1 - fy) + bot * fy
 
 
+def _scan_statics(st, dc):
+    """Hashable per-draw state tuple — the jit cache key for the scan
+    path (per-draw DCR state is static, main.cpp:216-331 analog)."""
+    return (st.texture_enabled, st.texture_envmode,
+            st.texture_addressU == C.CGL_ADDRESS_WRAP,
+            st.texture_magfilter != C.CGL_FILTER_NEAREST,
+            st.color_enabled, st.depth_test, st.depth_func,
+            st.depth_writemask, st.blend_enabled, st.blend_src,
+            st.blend_dst, int(st.color_writemask) & 0xFFFFFFFF,
+            float(dc.near), float(dc.far))
+
+
 def _scan_drawcall(geo, st, dc, trace, nx, ny, zbuf, color):
     """Submission-order fragment scan on perspective rays — the exact
     per-drawcall path (module docstring 'Exactness').
@@ -294,7 +334,11 @@ def _scan_drawcall(geo, st, dc, trace, nx, ny, zbuf, color):
     fragment semantics (om_unit.cpp:24-154) in float: depth funcs that
     need the live zbuf (EQUAL/NOTEQUAL/ALWAYS), submission-order winners
     (depth test off), and intra-draw multi-fragment blending are all
-    exact, unlike the single-winner closest-hit path."""
+    exact, unlike the single-winner closest-hit path.
+
+    The whole scan runs as ONE jit (statics = the draw state): the eager
+    per-op version paid a tunnel round trip per op once the process had
+    read anything back (PERF.md poison pill)."""
     clip = geo["clip"]
     idx = np.asarray(geo["indices"])
     tri = clip[idx][:, :, [0, 1, 3]].astype(np.float32)    # (P,3,3) x,y,w
@@ -305,19 +349,41 @@ def _scan_drawcall(geo, st, dc, trace, nx, ny, zbuf, color):
     col = jnp.asarray(np.asarray(geo["color"], np.float32)[idx])
     uvv = jnp.asarray(np.asarray(geo["uv"], np.float32)[idx])
 
-    o = jnp.zeros((nx.shape[0], 3), F32)
-    d = jnp.stack([nx, ny, jnp.ones_like(nx)], -1)
-
     if st.texture_enabled:
         tex = trace.textures[dc.texture_id]
         vx_fmt = C.CGL_TO_VX_FORMAT[tex.format]
         img = jnp.asarray(mipmap.texture_rgba_float(
             tex.pixels, vx_fmt, tex.width, tex.height))
-        repeat = st.texture_addressU == C.CGL_ADDRESS_WRAP
-        bilinear = st.texture_magfilter != C.CGL_FILTER_NEAREST
-    half_d = 0.5 * (dc.far - dc.near)
-    zoff = dc.near + half_d
-    wm = int(st.color_writemask) & 0xFFFFFFFF
+    else:
+        img = jnp.zeros((1, 1, 4), F32)
+    return _scan_drawcall_jit(_scan_statics(st, dc), v0, e1, e2, zw, col,
+                              uvv, img, nx, ny, zbuf, color)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _scan_drawcall_jit(statics, v0, e1, e2, zw, col, uvv, img, nx, ny,
+                       zbuf, color):
+    (texture_enabled, envmode, repeat, bilinear, color_enabled,
+     depth_test, depth_func, depth_writemask, blend_enabled, blend_src,
+     blend_dst, wm, near, far) = statics
+
+    class st:                         # attribute view of the statics
+        pass
+
+    st.texture_enabled = texture_enabled
+    st.texture_envmode = envmode
+    st.color_enabled = color_enabled
+    st.depth_test = depth_test
+    st.depth_func = depth_func
+    st.depth_writemask = depth_writemask
+    st.blend_enabled = blend_enabled
+    st.blend_src = blend_src
+    st.blend_dst = blend_dst
+
+    o = jnp.zeros((nx.shape[0], 3), F32)
+    d = jnp.stack([nx, ny, jnp.ones_like(nx)], -1)
+    half_d = 0.5 * (far - near)
+    zoff = near + half_d
     chan = jnp.asarray([bool(wm & 0x00FF0000), bool(wm & 0x0000FF00),
                         bool(wm & 0x000000FF), bool(wm & 0xFF000000)])
 
@@ -436,68 +502,89 @@ def render_trace_rt(trace: cgltrace.CGLTrace, width: int, height: int,
             farthest = st.depth_func in (C.CGL_COMPARE_GREATER,
                                          C.CGL_COMPARE_GEQUAL)
             prim, u, v = _persp_hit(geo, nx, ny, farthest, engine)
-
-            def interp(attr, idx=idx, prim=prim, u=u, v=v):
-                return _interp_bary(attr, idx, prim, u, v)
-
-            # z_ndc = z_c/w_c at the hit, viewport-mapped — identical to
-            # the raster's perspective-correct z (clip_to_screen z)
-            zw = interp(jnp.asarray(geo["clip"][:, 2:4]))
-            half_d = 0.5 * (dc.far - dc.near)
-            z = (zw[:, 0] / zw[:, 1]) * half_d + (dc.near + half_d)
+            zattr = jnp.asarray(geo["clip"][:, 2:4].astype(np.float32))
         else:
             prim, u, v = _closest_hit(_winner_tris(geo, key),
                                       px, py, engine)
-
-            def interp(attr, idx=idx, rhw=rhw, prim=prim, u=u, v=v):
-                return _interp_pc(attr, idx, rhw, prim, u, v)
-
-            z = interp(jnp.asarray(geo["xy_z"][:, 2:3]))[:, 0]
-        hit = prim >= 0
-
-        # color_enabled gates vertex-color INTERPOLATION (the kernel's
-        # rgba defaults to 1.0 otherwise, kernel.cpp:16-23); the
-        # framebuffer write is gated by color_writemask below
-        if st.color_enabled:
-            src = interp(jnp.asarray(geo["color"]))
-        else:
-            src = jnp.ones((prim.shape[0], 4), F32)
-
+            zattr = jnp.asarray(geo["xy_z"][:, 2:3].astype(np.float32))
         if st.texture_enabled:
             tex = trace.textures[dc.texture_id]
             vx_fmt = C.CGL_TO_VX_FORMAT[tex.format]
             img = jnp.asarray(mipmap.texture_rgba_float(
                 tex.pixels, vx_fmt, tex.width, tex.height))
-            uv = interp(jnp.asarray(geo["uv"]))
-            repeat = st.texture_addressU == C.CGL_ADDRESS_WRAP
-            bilinear = st.texture_magfilter != C.CGL_FILTER_NEAREST
-            texel = _sample_texture_wrap(img, uv[:, 0], uv[:, 1], repeat,
-                                         bilinear)
-            if st.texture_envmode == C.CGL_ENVMODE_MODULATE:
-                src = src * texel
-            elif st.texture_envmode == C.CGL_ENVMODE_ADD:
-                src = jnp.clip(src + texel, 0.0, 1.0)
-            else:                        # REPLACE (and BLEND fallback)
-                src = texel
-
-        passed = hit
-        if st.depth_test:
-            passed = passed & _depth_pass(st.depth_func, z, zbuf)
-            if st.depth_writemask:
-                zbuf = jnp.where(passed, z, zbuf)
-
-        out = src
-        if st.blend_enabled:
-            sf = _BLEND_FACTORS[st.blend_src](src, color)
-            df = _BLEND_FACTORS[st.blend_dst](src, color)
-            out = jnp.clip(src * sf + color * df, 0.0, 1.0)
-        # per-channel write mask (ARGB bytes of cbuf_writemask)
-        wm = int(st.color_writemask) & 0xFFFFFFFF
-        chan = jnp.asarray([bool(wm & 0x00FF0000), bool(wm & 0x0000FF00),
-                            bool(wm & 0x000000FF), bool(wm & 0xFF000000)])
-        color = jnp.where(passed[:, None] & chan[None, :], out, color)
+        else:
+            img = jnp.zeros((1, 1, 4), F32)
+        # interpolation + depth + blend + masked write: one jit per draw
+        # state (the eager chain paid a round trip per op after the first
+        # readback — PERF.md poison pill)
+        zbuf, color = _winner_composite_jit(
+            _scan_statics(st, dc), camera == "perspective", idx, rhw,
+            zattr, jnp.asarray(np.asarray(geo["color"], np.float32)),
+            jnp.asarray(np.asarray(geo["uv"], np.float32)), img,
+            prim, u, v, zbuf, color)
 
     return np.asarray(color).reshape(height, width, 4)
+
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _winner_composite_jit(statics, perspective, idx, rhw, zattr, colattr,
+                          uvattr, img, prim, u, v, zbuf, color):
+    """Winner-path per-draw composite (interp -> texture -> depth ->
+    blend -> masked write) compiled per draw-state tuple."""
+    (texture_enabled, envmode, repeat, bilinear, color_enabled,
+     depth_test, depth_func, depth_writemask, blend_enabled, blend_src,
+     blend_dst, wm, near, far) = statics
+
+    if perspective:
+        def interp(attr):
+            return _interp_bary(attr, idx, prim, u, v)
+        zw = interp(zattr)
+        half_d = 0.5 * (far - near)
+        # z_ndc = z_c/w_c at the hit, viewport-mapped — identical to the
+        # raster's perspective-correct z (clip_to_screen z)
+        z = (zw[:, 0] / zw[:, 1]) * half_d + (near + half_d)
+    else:
+        def interp(attr):
+            return _interp_pc(attr, idx, rhw, prim, u, v)
+        z = interp(zattr)[:, 0]
+    hit = prim >= 0
+
+    # color_enabled gates vertex-color INTERPOLATION (the kernel's rgba
+    # defaults to 1.0 otherwise, kernel.cpp:16-23); the framebuffer
+    # write is gated by color_writemask below
+    if color_enabled:
+        src = interp(colattr)
+    else:
+        src = jnp.ones((prim.shape[0], 4), F32)
+
+    if texture_enabled:
+        uv_i = interp(uvattr)
+        texel = _sample_texture_wrap(img, uv_i[:, 0], uv_i[:, 1], repeat,
+                                     bilinear)
+        if envmode == C.CGL_ENVMODE_MODULATE:
+            src = src * texel
+        elif envmode == C.CGL_ENVMODE_ADD:
+            src = jnp.clip(src + texel, 0.0, 1.0)
+        else:                        # REPLACE (and BLEND fallback)
+            src = texel
+
+    passed = hit
+    if depth_test:
+        passed = passed & _depth_pass(depth_func, z, zbuf)
+        if depth_writemask:
+            zbuf = jnp.where(passed, z, zbuf)
+
+    out = src
+    if blend_enabled:
+        sf = _BLEND_FACTORS[blend_src](src, color)
+        df = _BLEND_FACTORS[blend_dst](src, color)
+        out = jnp.clip(src * sf + color * df, 0.0, 1.0)
+    # per-channel write mask (ARGB bytes of cbuf_writemask)
+    chan = jnp.asarray([bool(wm & 0x00FF0000), bool(wm & 0x0000FF00),
+                        bool(wm & 0x000000FF), bool(wm & 0xFF000000)])
+    color = jnp.where(passed[:, None] & chan[None, :], out, color)
+    return zbuf, color
 
 
 def render_scene_rt(name: str, width: int, height: int, **kw) -> np.ndarray:
