@@ -382,11 +382,18 @@ def render_drawcall(render_state: RenderState, texels, binned,
             visibility = "pallas_interpret"   # Mosaic only lowers on TPU
     if texels is None:
         texels = jnp.zeros((1,), jnp.uint32)
-    args = (render_state, texels,
-            jnp.asarray(binned.edges), jnp.asarray(binned.attribs),
-            jnp.asarray(binned.attribs[:, 0]),
-            jnp.asarray(binned.tile_pids), jnp.asarray(binned.tile_xy),
-            fb_color, fb_ds, binned.tile_logsize)
+    # device-array cache: eager render loops call this per frame with the
+    # same binned host arrays — re-uploading them per call costs H2D
+    # transfers every draw (and in the tunnel's post-readback synchronous
+    # mode, a round trip per array — PERF.md poison pill)
+    dev = getattr(binned, "_dev_arrays", None)
+    if dev is None:
+        dev = (jnp.asarray(binned.edges), jnp.asarray(binned.attribs),
+               jnp.asarray(binned.attribs[:, 0]),
+               jnp.asarray(binned.tile_pids), jnp.asarray(binned.tile_xy))
+        binned._dev_arrays = dev
+    args = (render_state, texels) + dev + (fb_color, fb_ds,
+                                           binned.tile_logsize)
 
     if deferrable(render_state):
         fbc, fbd, _ = _render_deferred_jit(*args, visibility=visibility)

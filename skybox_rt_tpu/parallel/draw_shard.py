@@ -133,10 +133,20 @@ def render_drawcall_sharded(mesh, render_state, texels, binned,
             visibility = "pallas_interpret"
     if texels is None:
         texels = jnp.zeros((1,), jnp.uint32)
-    pids, xy, valid = stripe_tiles(binned, n)
-    args = (texels, jnp.asarray(binned.edges), jnp.asarray(binned.attribs),
-            jnp.asarray(binned.attribs[:, 0]), jnp.asarray(pids),
-            jnp.asarray(xy), jnp.asarray(valid), fb_color, fb_ds)
+    # per-(binned, n) device-array cache — same rationale as
+    # ops.deferred.render_drawcall's _dev_arrays
+    cache = getattr(binned, "_dev_stripes", None)
+    if cache is None:
+        cache = {}
+        binned._dev_stripes = cache
+    dev = cache.get(n)
+    if dev is None:
+        pids, xy, valid = stripe_tiles(binned, n)
+        dev = (jnp.asarray(binned.edges), jnp.asarray(binned.attribs),
+               jnp.asarray(binned.attribs[:, 0]), jnp.asarray(pids),
+               jnp.asarray(xy), jnp.asarray(valid))
+        cache[n] = dev
+    args = (texels,) + dev + (fb_color, fb_ds)
 
     if deferred.deferrable(render_state):
         fn = _sharded_draw_fn(mesh, render_state, binned.tile_logsize, 0,
