@@ -1040,7 +1040,8 @@ def _slab_embedded(row0, ox, oy, oz, inv_dx, inv_dy, inv_dz, far):
     return tn, tf
 
 
-def _make_bvh_worklist_kernel(t_min: float, tri_block: int, num_blocks: int):
+def _make_bvh_worklist_kernel(t_min: float, tri_block: int, num_blocks: int,
+                              unroll: int = 8):
     C = num_blocks
 
     def kernel(wl_ref, ec_ref, tc_ref, bcnt_ref,   # SMEM prefetch
@@ -1114,11 +1115,11 @@ def _make_bvh_worklist_kernel(t_min: float, tri_block: int, num_blocks: int):
                 nt = bcnt_ref[b]
 
                 def step(h, _):
-                    # 8-way unrolled single-tri splats (loop bookkeeping
-                    # bounds the tests/s ceiling — PERF.md); rows past nt
-                    # are degenerate (det 0) so the ceil is safe
-                    for s in range(8):
-                        j = h * 8 + s
+                    # unrolled single-tri splats (loop bookkeeping bounds
+                    # the tests/s ceiling — PERF.md); rows past nt are
+                    # degenerate (det 0) so the ceil is safe
+                    for s in range(unroll):
+                        j = h * unroll + s
                         best_t = bt_ref[0]
                         hit, t, u, v = _mt_one(ox, oy, oz, dx, dy, dz,
                                                trs[j], t_min, best_t)
@@ -1128,7 +1129,7 @@ def _make_bvh_worklist_kernel(t_min: float, tri_block: int, num_blocks: int):
                         bv_ref[0] = jnp.where(hit, v, bv_ref[0])
                     return 0
 
-                jax.lax.fori_loop(0, (nt + 7) // 8, step, 0)
+                jax.lax.fori_loop(0, (nt + unroll - 1) // unroll, step, 0)
             return ne, noff
 
         jax.lax.fori_loop(0, total, loop, (jnp.int32(0), jnp.int32(0)))
@@ -1138,13 +1139,16 @@ def _make_bvh_worklist_kernel(t_min: float, tri_block: int, num_blocks: int):
 
 @functools.partial(jax.jit, static_argnames=("t_min", "tri_block",
                                              "num_blocks", "sub", "L",
-                                             "interpret", "front_to_back"))
+                                             "interpret", "front_to_back",
+                                             "unroll"))
 def _bvh_worklist_call(rays, tri, tmax_arr, levels, bcnt, t_min, tri_block,
-                       num_blocks, sub, L, interpret, front_to_back=True):
+                       num_blocks, sub, L, interpret, front_to_back=True,
+                       unroll=8):
     G = rays[0].shape[0]
     wl, ec, total = _conservative_entry_lists(rays, tmax_arr, levels, L,
                                               front_to_back=front_to_back)
-    kernel = _make_bvh_worklist_kernel(t_min, tri_block, num_blocks)
+    kernel = _make_bvh_worklist_kernel(t_min, tri_block, num_blocks,
+                                       unroll=unroll)
     ray_spec = pl.BlockSpec((1, sub * 8, LANES), lambda g, *_: (g, 0, 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1176,7 +1180,8 @@ def _bvh_worklist_call(rays, tri, tmax_arr, levels, bcnt, t_min, tri_block,
 
 def closest_hit_bvh(orig, direction, blocks, t_max=None,
                     t_min: float = 1e-4, sub: int = 4, L: int = 256,
-                    interpret: bool = False, front_to_back: bool = True):
+                    interpret: bool = False, front_to_back: bool = True,
+                    unroll: int = 8):
     """Hierarchical large-scene closest hit (see module section comment).
 
     blocks: prepare_bvh_blocks output (BVH-treelet record blocks).
@@ -1193,7 +1198,7 @@ def closest_hit_bvh(orig, direction, blocks, t_max=None,
     bt, bp, bu, bv = _bvh_worklist_call(
         rays, blocks["tri"], tmax_arr, tuple(blocks["levels"]),
         blocks["bcnt"], t_min, blocks["tri_block"], blocks["num_blocks"],
-        sub, L, interpret, front_to_back=front_to_back)
+        sub, L, interpret, front_to_back=front_to_back, unroll=unroll)
 
     slot = bp.reshape(Rp)[:R]
     miss = slot < 0
