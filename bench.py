@@ -233,11 +233,11 @@ def _fwd_bwd(jax, mode="hard", probe_slots_only=False):
         # auto_slots does an int() readback, which would de-pipeline the
         # process BEFORE the timed loop (PERF.md poison pill) — main()
         # probes K in a separate subprocess and passes it through env
+        if probe_slots_only:
+            return pipeline.auto_slots(params, static, cfg), None
         import os
         slots = int(os.environ.get("SKYBOX_BENCH_SLOTS", "0")) \
             or pipeline.auto_slots(params, static, cfg)
-    if probe_slots_only:
-        return pipeline.auto_slots(params, static, cfg), None
 
     def loss_fn(params):
         img, _ = pipeline.render_deferred(params, static, cfg, slots=slots)
@@ -408,24 +408,35 @@ def main():
     # error field instead of killing the artifact
     import os
 
+    # platform probe in a THROWAWAY subprocess: initializing a backend in
+    # this orchestrator would keep a second process attached to the chip
+    # while timed stages run (CLAUDE.md: chip benchmarks run exclusively)
+    probe = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; print(jax.devices()[0].platform)"],
+        capture_output=True, text=True, timeout=300)
+    on_tpu = probe.stdout.strip().splitlines()[-1:] == ["tpu"]
+
     results = {}
     env_extra = {}
     for name, (_, tmo) in STAGES.items():
-        if name.startswith("rt_"):
-            # worklist-kernel stages are TPU-only; cheap platform probe
-            # via env (the driver only runs bench.py on the chip, but
-            # CPU smoke runs must not hang in Mosaic interpret mode)
-            import jax
-            if jax.devices()[0].platform != "tpu":
-                continue
+        if name.startswith("rt_") and not on_tpu:
+            # worklist-kernel stages are TPU-only (CPU smoke runs must
+            # not hang in Mosaic interpret mode)
+            continue
         env = dict(os.environ)
         env.update(env_extra.pop(name, {}))
         try:
             proc = subprocess.run(
                 [sys.executable, __file__, "--stage", name],
                 capture_output=True, text=True, timeout=tmo, env=env)
-            line = proc.stdout.strip().splitlines()[-1]
-            results[name] = json.loads(line)
+            lines = proc.stdout.strip().splitlines()
+            if not lines:
+                results[name] = {
+                    "error": f"exit={proc.returncode}",
+                    "stderr": proc.stderr.strip()[-300:]}
+            else:
+                results[name] = json.loads(lines[-1])
         except Exception as e:
             results[name] = {"error": type(e).__name__}
         if name in _PROBE_FOR:
@@ -442,6 +453,8 @@ def main():
             extra.update(head)
         elif "error" in r:
             extra[f"{name}_error"] = r["error"]
+            if r.get("stderr"):
+                extra[f"{name}_stderr"] = r["stderr"]
         else:
             extra.update(r)
 

@@ -849,11 +849,29 @@ def closest_hit_worklist(orig, direction, v0, e1, e2, order=None,
 # ---------------------------------------------------------------------------
 
 # rays parked beyond this origin magnitude (tracer re-compaction parks
-# dead rays at 3e7) are excluded from the conservative ray-block bounds;
-# they can never hit (slab tf < 0 for any scene inside the limit)
+# dead rays at 3e7) are excluded from the conservative ray-block bounds.
+# NOTE the contract is only that excluding them cannot MISS a hit for
+# live rays: a parked ray pointing back toward the scene can still
+# intersect geometry (its results must be masked by the caller — the
+# tracer gates shadow/bounce results on the hit mask); parked rays with
+# the away-pointing park direction never hit (slab tf < 0).
 PARK_LIMIT = 1e7
 ENTRY_LEVEL_SHIFT = 24
 ENTRY_START_MASK = (1 << ENTRY_LEVEL_SHIFT) - 1
+
+
+def _validate_bvh_args(blocks, L, unroll):
+    """Correctness preconditions the kernels cannot check themselves."""
+    if blocks["levels"][-1].shape[0] > L:
+        raise ValueError(
+            f"coarsest group level has {blocks['levels'][-1].shape[0]} "
+            f"entries > L={L}: active entries would be silently dropped "
+            "(build_block_set top_size must be <= L)")
+    if blocks["tri_block"] % unroll:
+        raise ValueError(
+            f"unroll={unroll} must divide tri_block={blocks['tri_block']}: "
+            "the unrolled splat loop would read rows past the DMA'd block "
+            "(into the other double-buffer slot)")
 
 
 def prepare_bvh_blocks(v0, e1, e2, block_set):
@@ -897,10 +915,15 @@ def _ray_block_bounds(rays, tmax_arr):
     (o_lo, o_hi, d_lo, d_hi) each (G, 3), any_live (G,), far_ub (G,)."""
     ox, oy, oz, dx, dy, dz = rays
     BIG = jnp.float32(3e38)
+    # zero-direction rays (the _pack_rays padding when t_max=None keeps
+    # tmax=+inf) can never hit (MT det ~ 0) but would widen the
+    # direction interval across 0 on every axis, making the whole block
+    # uncullable — exclude them from the bounds too
     live = ((tmax_arr > -jnp.inf)
             & (jnp.abs(ox) < PARK_LIMIT)
             & (jnp.abs(oy) < PARK_LIMIT)
-            & (jnp.abs(oz) < PARK_LIMIT))
+            & (jnp.abs(oz) < PARK_LIMIT)
+            & ((dx != 0.0) | (dy != 0.0) | (dz != 0.0)))
 
     def mn(c):
         return jnp.min(jnp.where(live, c, BIG), axis=(1, 2))
@@ -1044,7 +1067,7 @@ def _make_bvh_worklist_kernel(t_min: float, tri_block: int, num_blocks: int,
                               unroll: int = 8):
     C = num_blocks
 
-    def kernel(wl_ref, ec_ref, tc_ref, bcnt_ref,   # SMEM prefetch
+    def kernel(wl_ref, tc_ref, bcnt_ref,           # SMEM prefetch
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                tmax_ref,                           # VMEM ray tiles
                tri_hbm,                            # (C*TB, 128) in HBM
@@ -1152,7 +1175,7 @@ def _bvh_worklist_call(rays, tri, tmax_arr, levels, bcnt, t_min, tri_block,
     ray_spec = pl.BlockSpec((1, sub * 8, LANES), lambda g, *_: (g, 0, 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,           # wl, ec, total, bcnt (SMEM)
+        num_scalar_prefetch=3,           # wl, total, bcnt (SMEM)
         grid=(G,),
         in_specs=[ray_spec] * 7 + [
             pl.BlockSpec(memory_space=pl.ANY),      # records stay in HBM
@@ -1175,7 +1198,7 @@ def _bvh_worklist_call(rays, tri, tmax_arr, levels, bcnt, t_min, tri_block,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(wl, ec, total, bcnt, *rays, tmax_arr, tri)
+    )(wl, total, bcnt, *rays, tmax_arr, tri)
 
 
 def closest_hit_bvh(orig, direction, blocks, t_max=None,
@@ -1188,9 +1211,7 @@ def closest_hit_bvh(orig, direction, blocks, t_max=None,
     L: SMEM worklist entry capacity per ray block (>= 64; ray blocks
     whose exact block list overflows take coarser 8^l range entries).
     Returns (prim (R,) i32 in ORIGINAL ids, t, u, v)."""
-    if L < 64:
-        raise ValueError("L must be >= 64 (the group pyramid tops out at "
-                         "64 entries)")
+    _validate_bvh_args(blocks, L, unroll)
     P = blocks["num_prims"]
     rays, R, Rp, G = _pack_rays(orig, direction, sub=sub)
     tmax_arr = _pack_tmax(t_max, G, sub=sub)
@@ -1219,7 +1240,7 @@ def _make_bvh_anyhit_kernel(t_min: float, tri_block: int, num_blocks: int):
     early-out of any_hit_clustered, scaled to HBM-streamed scenes)."""
     C = num_blocks
 
-    def kernel(wl_ref, ec_ref, tc_ref, bcnt_ref,
+    def kernel(wl_ref, tc_ref, bcnt_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                tmax_ref,
                tri_hbm,
@@ -1332,7 +1353,7 @@ def _bvh_anyhit_call(rays, tri, tmax_arr, levels, bcnt, t_min, tri_block,
     ray_spec = pl.BlockSpec((1, sub * 8, LANES), lambda g, *_: (g, 0, 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,           # wl, total, bcnt (SMEM)
         grid=(G,),
         in_specs=[ray_spec] * 7 + [
             pl.BlockSpec(memory_space=pl.ANY),
@@ -1351,7 +1372,7 @@ def _bvh_anyhit_call(rays, tri, tmax_arr, levels, bcnt, t_min, tri_block,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(wl, ec, total, bcnt, *rays, tmax_arr, tri)
+    )(wl, total, bcnt, *rays, tmax_arr, tri)
 
 
 def any_hit_bvh(orig, direction, blocks, t_max=1.0, t_min: float = 1e-4,
@@ -1359,8 +1380,7 @@ def any_hit_bvh(orig, direction, blocks, t_max=1.0, t_min: float = 1e-4,
     """Occlusion query through the hierarchical worklist path with a
     whole-tile early-out (shadow-ray twin of closest_hit_bvh).
     Returns (R,) bool."""
-    if L < 64:
-        raise ValueError("L must be >= 64")
+    _validate_bvh_args(blocks, L, 8)
     rays, R, Rp, G = _pack_rays(orig, direction, sub=sub)
     tm = (jnp.full((orig.shape[0],), t_max, F32) if jnp.ndim(t_max) == 0
           else jnp.asarray(t_max, F32))

@@ -165,8 +165,9 @@ def _engine_prep(tri, engine: str):
         bvh = bvh_mod.build_sah(verts, faces)
         prep["stackless"] = bvh.as_stackless_arrays()
         prep["leaf_size"] = bvh.leaf_size
-    if len(_ENGINE_PREP_CACHE) > 256:      # bound the cache
-        _ENGINE_PREP_CACHE.clear()
+    while len(_ENGINE_PREP_CACHE) >= 256:  # bound: evict oldest (FIFO),
+        _ENGINE_PREP_CACHE.pop(            # not clear() — a >256-draw
+            next(iter(_ENGINE_PREP_CACHE)))  # loop must not thrash
     _ENGINE_PREP_CACHE[key] = prep
     return prep
 
