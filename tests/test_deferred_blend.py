@@ -157,3 +157,56 @@ def test_blended_scenes_deferred_exact():
         b = driver.render_scene(scene, size, size, mode="deferred")
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=scene)
+
+
+def test_blend_k_cache_stale_hint_recovers():
+    """The frame-level blend-K cache protocol (VERDICT r3 #7): a STALE
+    (too-small) cached K must be caught by the frame-end overflow
+    verification and the frame re-rendered exactly — never a silently
+    truncated composite."""
+    from skybox_rt_tpu.geom import cgltrace
+    from skybox_rt_tpu.ref import driver
+
+    trace = cgltrace.load_cached(cgltrace.trace_path("vase"))
+    ref = driver.render_trace(trace, 32, 32, mode="deferred")
+    cache = trace._blend_k_cache
+    key = (32, 32, 5)
+    ks = cache[key]
+    assert any(k > 0 for k in ks.values()), "vase must have blended draws"
+    assert any(k > 1 for k in ks.values()), \
+        "need a draw with >1 fragment to make K=1 stale"
+    # poison: claim every blended draw needs only one slot
+    cache[key] = {d: (1 if k > 0 else 0) for d, k in ks.items()}
+    got = driver.render_trace(trace, 32, 32, mode="deferred")
+    np.testing.assert_array_equal(got, ref)
+    # the re-measurement restored correct counts
+    assert {d: k for d, k in trace._blend_k_cache[key].items() if k} \
+        == {d: k for d, k in ks.items() if k}
+
+
+def test_render_drawcall_overflow_out_contract():
+    """render_drawcall(blend_k=, overflow_out=) appends (K, device count)
+    without syncing, and the count exposes a too-small K."""
+    from skybox_rt_tpu.geom import cgltrace
+    from skybox_rt_tpu.ref import driver as drv
+    from skybox_rt_tpu.ref import renderer
+
+    trace = cgltrace.load_cached(cgltrace.trace_path("vase"))
+    draws = drv.prepare_drawcalls(trace, 32, 32, 5)
+    blended = [(rs, tx, b) for rs, tx, b in draws
+               if rs.om.blend.enabled]
+    assert blended
+    rs, texels, binned = blended[0]
+    fbc = jnp.asarray(renderer.pad_framebuffer(
+        np.full((32, 32), drv.CLEAR_COLOR, np.uint32), 5))
+    fbd = jnp.asarray(renderer.pad_framebuffer(
+        np.full((32, 32), drv.CLEAR_DEPTH, np.uint32), 5))
+    info = {}
+    deferred.render_drawcall(rs, texels, binned, fbc, fbd, info=info)
+    true_k = info["max_frag_count"]
+    pending = []
+    deferred.render_drawcall(rs, texels, binned, fbc, fbd,
+                             blend_k=1, overflow_out=pending)
+    assert len(pending) == 1
+    k, cnt = pending[0]
+    assert k == 1 and int(cnt) == true_k
