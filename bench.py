@@ -40,7 +40,10 @@ import numpy as np
 SCENE = "tekkaman"
 SIZE = 256
 FRAMES = 20
-REPS = 5
+# 9 reps: the 256^2 frame is dispatch-pipelining-bound and single-window
+# medians of 5 still swung 2424-4715 across same-day runs; more samples
+# cost ~2 s and tighten the median against intra-stage drift
+REPS = 9
 ROUND1_BASELINE_MPIX_S = 2939.332   # BENCH_r01.json, v5e 1 chip
 
 
