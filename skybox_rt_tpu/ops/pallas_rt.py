@@ -1232,6 +1232,210 @@ def closest_hit_bvh(orig, direction, blocks, t_max=None,
     return prim, t, u, v
 
 
+def _make_bvh_after_kernel(t_min: float, tri_block: int, num_blocks: int,
+                           unroll: int = 8):
+    """Enumeration twin of the BVH worklist kernel: returns the hit that
+    is the LEXICOGRAPHIC (t, slot) minimum STRICTLY AFTER a per-ray
+    (t_lo, slot_lo) carry.  Repeated calls, feeding each walk's (t, slot)
+    back as the next carry, enumerate every hit along a ray exactly once
+    in (t, slot) order — including exact-t ties (shared-edge / coplanar
+    fragments), which a plain t-epsilon advance would skip.  This is the
+    RT analog of the deferred raster K-slot fragment collection
+    (ops/deferred.py) used for submission-order OM compositing
+    (om_unit.cpp:24-154 semantics) of translucent drawcalls."""
+    C = num_blocks
+
+    def kernel(wl_ref, tc_ref, bcnt_ref,           # SMEM prefetch
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               tmax_ref, tlo_ref, slo_ref,         # VMEM ray tiles
+               tri_hbm,                            # (C*TB, 128) in HBM
+               bt_ref, bp_ref, bu_ref, bv_ref,     # outs
+               tri_vmem, sem):                     # (2, TB, 128) + DMA sems
+        g = pl.program_id(0)
+        total = tc_ref[g]
+        bt_ref[0] = tmax_ref[0]
+        bp_ref[0] = jnp.full(bt_ref.shape[1:], -1, I32)
+        bu_ref[0] = jnp.zeros(bt_ref.shape[1:], F32)
+        bv_ref[0] = jnp.zeros(bt_ref.shape[1:], F32)
+
+        def entry_len(e):
+            ent = wl_ref[g, e]
+            span = jnp.int32(1) << (3 * (ent >> ENTRY_LEVEL_SHIFT))
+            return jnp.minimum(span, C - (ent & ENTRY_START_MASK))
+
+        def blk(e, off):
+            return (wl_ref[g, e] & ENTRY_START_MASK) + off
+
+        def advance(e, off):
+            wrap = off + 1 >= entry_len(e)
+            return (jnp.where(wrap, e + 1, e),
+                    jnp.where(wrap, 0, off + 1))
+
+        def get_dma(slot, b):
+            return pltpu.make_async_copy(
+                tri_hbm.at[pl.ds(b * tri_block, tri_block), :],
+                tri_vmem.at[slot],
+                sem.at[slot])
+
+        @pl.when(total > 0)
+        def _warm():
+            get_dma(0, blk(0, 0)).start()
+
+        ox = ox_ref[0]
+        oy = oy_ref[0]
+        oz = oz_ref[0]
+        dx = dx_ref[0]
+        dy = dy_ref[0]
+        dz = dz_ref[0]
+        tlo = tlo_ref[0]
+        slo = slo_ref[0]
+        inv_dx = _inv_dir(dx)
+        inv_dy = _inv_dir(dy)
+        inv_dz = _inv_dir(dz)
+
+        def loop(p, carry):
+            e, off = carry
+            slot = jax.lax.rem(p, 2)
+            ne, noff = advance(e, off)
+
+            @pl.when(p + 1 < total)
+            def _next():
+                get_dma(1 - slot, blk(ne, noff)).start()
+
+            get_dma(slot, blk(e, off)).wait()
+            b = blk(e, off)
+            trs = tri_vmem.at[slot]
+
+            # exact whole-tile slab gate (AABB embedded in record row 0);
+            # far bound = running best_t like the closest-hit kernel
+            tn, tf = _slab_embedded(trs[0], ox, oy, oz,
+                                    inv_dx, inv_dy, inv_dz, bt_ref[0])
+
+            @pl.when(jnp.any(tn <= tf))
+            def _():
+                base = b * tri_block
+                nt = bcnt_ref[b]
+
+                def step(h, _):
+                    for s in range(unroll):
+                        j = h * unroll + s
+                        best_t = bt_ref[0]
+                        best_p = bp_ref[0]
+                        # _mt_one's upper bound replaced by the
+                        # lexicographic window (t_lo,slot_lo) < (t,sid)
+                        # < (best_t,best_p)
+                        hit, t, u, v = _mt_one(ox, oy, oz, dx, dy, dz,
+                                               trs[j], t_min, jnp.inf)
+                        sid = base + j
+                        hit = hit & ((t < best_t)
+                                     | ((t == best_t) & (sid < best_p)))
+                        hit = hit & ((t > tlo)
+                                     | ((t == tlo) & (sid > slo)))
+                        bt_ref[0] = jnp.where(hit, t, best_t)
+                        bp_ref[0] = jnp.where(hit, sid, best_p)
+                        bu_ref[0] = jnp.where(hit, u, bu_ref[0])
+                        bv_ref[0] = jnp.where(hit, v, bv_ref[0])
+                    return 0
+
+                jax.lax.fori_loop(0, (nt + unroll - 1) // unroll, step, 0)
+            return ne, noff
+
+        jax.lax.fori_loop(0, total, loop, (jnp.int32(0), jnp.int32(0)))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("t_min", "tri_block",
+                                             "num_blocks", "sub", "L",
+                                             "interpret", "unroll"))
+def _bvh_after_call(rays, tri, tmax_arr, tlo_arr, slo_arr, wl, total, bcnt,
+                    t_min, tri_block, num_blocks, sub, L, interpret,
+                    unroll=8):
+    G = rays[0].shape[0]
+    kernel = _make_bvh_after_kernel(t_min, tri_block, num_blocks,
+                                    unroll=unroll)
+    ray_spec = pl.BlockSpec((1, sub * 8, LANES), lambda g, *_: (g, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,           # wl, total, bcnt (SMEM)
+        grid=(G,),
+        in_specs=[ray_spec] * 9 + [
+            pl.BlockSpec(memory_space=pl.ANY),      # records stay in HBM
+        ],
+        out_specs=(ray_spec,) * 4,
+        scratch_shapes=[
+            pltpu.VMEM((2, tri_block, LANES), F32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((G, sub * 8, LANES), F32),
+            jax.ShapeDtypeStruct((G, sub * 8, LANES), I32),
+            jax.ShapeDtypeStruct((G, sub * 8, LANES), F32),
+            jax.ShapeDtypeStruct((G, sub * 8, LANES), F32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(wl, total, bcnt, *rays, tmax_arr, tlo_arr, slo_arr, tri)
+
+
+def bvh_worklists(orig, direction, blocks, t_max=None, sub: int = 2,
+                  L: int = 256, front_to_back: bool = True):
+    """Precompute the conservative per-ray-block worklists consumed by
+    closest_hit_bvh_after.  The lists depend only on (rays, t_max), so a
+    K-walk enumeration over the same rays computes them ONCE and shares
+    them across every walk."""
+    _validate_bvh_args(blocks, L, 8)
+    rays, R, Rp, G = _pack_rays(orig, direction, sub=sub)
+    tmax_arr = _pack_tmax(t_max, G, sub=sub)
+    wl, ec, total = _conservative_entry_lists(
+        rays, tmax_arr, tuple(blocks["levels"]), L,
+        front_to_back=front_to_back)
+    return {"wl": wl, "total": total, "rays": rays, "tmax": tmax_arr,
+            "R": R, "Rp": Rp, "G": G, "sub": sub, "L": L}
+
+
+def closest_hit_bvh_after(blocks, worklists, t_lo, slot_lo,
+                          t_min: float = 1e-4, interpret: bool = False,
+                          unroll: int = 8):
+    """Next hit strictly after the per-ray carry (t_lo, slot_lo) in
+    lexicographic (t, slot) order (slot = block-set slot id).
+
+    worklists: bvh_worklists(...) output for the SAME rays.
+    t_lo (R,) f32 / slot_lo (R,) i32: the previous walk's (t, slot)
+    (start the first walk at (-inf, -1); a missed ray returns t=+inf, so
+    feeding results straight back terminates enumeration naturally).
+    Returns (slot, prim, t, u, v) — slot for carrying, prim in ORIGINAL
+    ids for attribute fetch; both -1 on miss."""
+    wk = worklists
+    sub, R, Rp, G = wk["sub"], wk["R"], wk["Rp"], wk["G"]
+    BLK = sub * 8 * LANES
+    tlo_arr = _pad_to(jnp.asarray(t_lo, F32), BLK,
+                      fill=jnp.inf).reshape(G, sub * 8, LANES)
+    slo_arr = _pad_to(jnp.asarray(slot_lo, I32), BLK,
+                      fill=2 ** 30).reshape(G, sub * 8, LANES)
+
+    bt, bp, bu, bv = _bvh_after_call(
+        wk["rays"], blocks["tri"], wk["tmax"], tlo_arr, slo_arr,
+        wk["wl"], wk["total"], blocks["bcnt"], t_min,
+        blocks["tri_block"], blocks["num_blocks"], sub, wk["L"],
+        interpret, unroll=unroll)
+
+    slot = bp.reshape(Rp)[:R]
+    miss = slot < 0
+    s2p = blocks["s2p"]
+    prim = jnp.where(miss, jnp.int32(-1),
+                     s2p[jnp.clip(slot, 0, s2p.shape[0] - 1)])
+    t = jnp.where(miss, jnp.inf, bt.reshape(Rp)[:R])
+    u = jnp.where(miss, 0.0, bu.reshape(Rp)[:R])
+    v = jnp.where(miss, 0.0, bv.reshape(Rp)[:R])
+    return slot, prim, t, u, v
+
+
 def _make_bvh_anyhit_kernel(t_min: float, tri_block: int, num_blocks: int):
     """Occlusion twin of the BVH worklist kernel: no best-hit record —
     an occluded ray's window is collapsed (tmax -> -inf) so the embedded

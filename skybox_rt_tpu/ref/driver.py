@@ -290,3 +290,96 @@ def compile_frame(trace: cgltrace.CGLTrace, width: int, height: int,
         return fbc[:height, :width]
 
     return frame, arrays
+
+
+FRAME_LOOP_SENTINEL = np.uint32(0xDEADBEEF)
+
+
+def compile_frame_loop(trace: cgltrace.CGLTrace, width: int, height: int,
+                       frames: int,
+                       tile_logsize: int = C.RASTER_TILE_LOGSIZE,
+                       mode: str = "deferred"):
+    """N-frame compiled render loop that XLA provably cannot hoist —
+    the DEVICE-WALL measurement protocol (round 5).
+
+    The single-dispatch-per-frame headline measures host-dispatch
+    pipelining over the tunnel (window weather, PERF.md); a naive
+    compiled N-frame loop is hoisted by XLA to one frame + copies.  Here
+    frame n+1 DATA-DEPENDS on frame n: its clear colors and every draw
+    input are XORed/added with z = count of pixels in frame n's output
+    equal to FRAME_LOOP_SENTINEL — a color the scene provably never
+    renders (the caller asserts this on the final framebuffer), so z is
+    always 0 and the images are bit-identical, but XLA cannot prove it
+    and must execute every frame.  Timing two loop lengths and taking
+    the difference quotient cancels the dispatch+sync RTT exactly — the
+    reference's in-window elapsed-cycles protocol
+    (/root/reference/tests/regression/draw3d/main.cpp:349-378).
+
+    Returns (loop_fn, arrays): loop_fn(arrays) -> final (H, W) u32 frame.
+    """
+    import jax
+
+    from ..ops import deferred as deferred_mod
+    from ..ops import pallas_raster
+
+    # identical setup to compile_frame (shared protocol)
+    draws = prepare_drawcalls(trace, width, height, tile_logsize)
+    statics = tuple((rs, b.tile_logsize) for rs, _, b in draws)
+    arrays = tuple(
+        (texels, jnp.asarray(b.edges), jnp.asarray(b.attribs),
+         jnp.asarray(b.tile_pids), jnp.asarray(b.tile_xy))
+        for _, texels, b in draws
+    )
+    ts = 1 << tile_logsize
+    Hp = -(-height // ts) * ts
+    Wp = -(-width // ts) * ts
+    blend_ks = [0] * len(draws)
+    if mode in ("deferred", "pallas"):
+        fbc = jnp.full((Hp, Wp), CLEAR_COLOR, jnp.uint32)
+        fbd = jnp.full((Hp, Wp), CLEAR_DEPTH, jnp.uint32)
+        for d, (rs, texels, b) in enumerate(draws):
+            info = {}
+            fbc, fbd = deferred_mod.render_drawcall(rs, texels, b, fbc, fbd,
+                                                    info=info)
+            blend_ks[d] = info["blend_k"]
+
+    def one_draw(d, rs, tls, texels, e, a, tp, txy, fbc, fbd):
+        if mode in ("deferred", "pallas"):
+            k = blend_ks[d]
+            vis = "xla"
+            if mode == "pallas" and pallas_raster.supported(rs, tls):
+                on_tpu = jax.devices()[0].platform == "tpu"
+                vis = "pallas" if on_tpu else "pallas_interpret"
+            fbc, fbd, _ = deferred_mod._render_deferred_jit.__wrapped__(
+                rs, texels, e, a, a[:, 0], tp, txy, fbc, fbd, tls,
+                visibility=vis, blend_slots=k)
+            return fbc, fbd
+        return renderer._render_drawcall_jit.__wrapped__(
+            rs, texels, e, a, tp, txy, fbc, fbd, tls)
+
+    SEN = jnp.uint32(FRAME_LOOP_SENTINEL)
+
+    @jax.jit
+    def loop(arrays):
+        def body(_, fb_prev):
+            # z == 0 at runtime (sentinel never rendered), unprovable at
+            # compile time: the whole frame re-executes every iteration
+            z = jnp.sum((fb_prev == SEN).astype(jnp.uint32))
+            fbc = jnp.full((Hp, Wp), CLEAR_COLOR, jnp.uint32) ^ z
+            fbd = jnp.full((Hp, Wp), CLEAR_DEPTH, jnp.uint32) ^ z
+            for d, ((rs, tls), (texels, e, a, tp, txy)) in enumerate(
+                    zip(statics, arrays)):
+                # thread the dependence through every draw INPUT too, so
+                # the (fb-independent) visibility passes can't be
+                # loop-invariant-hoisted either
+                e = e + z.astype(e.dtype)
+                a = a + z.astype(a.dtype)
+                tp = tp + z.astype(tp.dtype)
+                fbc, fbd = one_draw(d, rs, tls, texels, e, a, tp, txy,
+                                    fbc, fbd)
+            return fbc
+        fb0 = jnp.full((Hp, Wp), CLEAR_COLOR, jnp.uint32)
+        fb = jax.lax.fori_loop(0, frames, body, fb0)
+        return fb[:height, :width]
+
+    return loop, arrays

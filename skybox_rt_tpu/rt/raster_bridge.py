@@ -462,6 +462,16 @@ def render_trace_rt(trace: cgltrace.CGLTrace, width: int, height: int,
     Cites: drawcall loop ≅ tests/regression/draw3d/main.cpp:171-373;
     per-drawcall state ≅ the DCR writes at main.cpp:216-331.
     """
+    if camera == "perspective" and engine == "pallas_bvh":
+        # the compiled single-dispatch frame (rt.frame): BVH worklist
+        # kernel for opaque winners, K-slot enumeration walks for
+        # blended/ordering-free draws — replaces both the eager per-draw
+        # loop and the O(rays x prims) submission-order scan
+        from . import frame as frame_mod
+        return frame_mod.render_trace_rt_fused(
+            trace, width, height, start_draw=start_draw,
+            end_draw=end_draw, on_stencil=on_stencil)
+
     ys, xs = np.mgrid[0:height, 0:width]
     px = jnp.asarray((xs + 0.5).astype(np.float32).ravel())
     py = jnp.asarray((ys + 0.5).astype(np.float32).ravel())
