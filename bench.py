@@ -210,20 +210,21 @@ def _draw1024(jax):
     return out
 
 
-def _fwd_bwd(jax, mode="hard", probe_slots_only=False):
-    """512^2 deferred diff pipeline, compiled 10-step loop
+def _fwd_bwd(jax, mode="hard", probe_slots_only=False, size=512):
+    """Deferred diff pipeline train step, compiled 10-step loop
     (scripts/diff_chip_bench.py protocol).  mode: hard | alpha | soft —
     the differentiable-coverage modes use auto-measured slot counts
     (pipeline.auto_slots; VERDICT r3 #3).  probe_slots_only: return
     (auto_k, None) without timing (run in a throwaway subprocess so the
-    readback can't taint the timed stage)."""
+    readback can't taint the timed stage).  size: 512 (standing artifact)
+    or 1024 (the north star's gradient resolution, VERDICT r4 #3)."""
     import jax.numpy as jnp
 
     from skybox_rt_tpu.diff import binning as dbin
     from skybox_rt_tpu.diff import pipeline
     from skybox_rt_tpu.models import scenes
 
-    SZ, STEPS, TL = 512, 10, 5
+    SZ, STEPS, TL = size, 10, 5
     verts, faces = scenes.icosphere(subdiv=4, radius=0.85)
     V = verts.shape[0]
     pos = np.concatenate([verts.astype(np.float32),
@@ -279,11 +280,20 @@ def _fwd_bwd(jax, mode="hard", probe_slots_only=False):
     wall = time.perf_counter() - t0
     roof = None
     try:
+        # MEASURED unit-traffic model (VERDICT r4 #3): the diff
+        # pipeline's streams are dense/static-shaped, so the model is
+        # exact; XLA's cost_analysis pre-fusion bytes overstate by
+        # orders of magnitude (runtime/perf.roofline_of_fn caveat)
         from skybox_rt_tpu.runtime import perf as perf_mod
-        r = perf_mod.roofline_of_fn(loop, params, seconds=wall)
+        t = perf_mod.diff_step_traffic(params, static, cfg, slots)
+        r = perf_mod.roofline_from_traffic(t, seconds=wall / STEPS)
+        streams = {k: v for k, v in t.items()
+                   if k.endswith("_bytes") and v > 0}
         roof = {"bound_by": r["bound_by"],
-                "pct_of_roofline": round(r["pct_of_roofline"], 1),
-                "bytes_model": r["bytes_model"]}
+                "pct_of_roofline": round(r["pct_of_roofline"], 2),
+                "bytes_model": r["bytes_model"],
+                "modeled_mb_per_step": round(t["bytes_total"] / 1e6, 1),
+                "top_stream": max(streams, key=streams.get)}
     except Exception:
         pass
     return SZ * SZ * STEPS / wall / 1e6, roof
@@ -457,6 +467,14 @@ def _stage_fwd_bwd(jax):
     return out
 
 
+def _stage_fwd_bwd_1024(jax):
+    rate, roof = _fwd_bwd(jax, size=1024)
+    out = {"fwd_bwd_1024_mpix_s": round(rate, 2)}
+    if roof is not None:
+        out["fwd_bwd_1024_roofline"] = roof
+    return out
+
+
 def _stage_fwd_bwd_soft(jax):
     rate, _ = _fwd_bwd(jax, mode="soft")
     return {"fwd_bwd_softedge_512_mpix_s": round(rate, 2)}
@@ -491,6 +509,7 @@ STAGES = {
     "headline": (_stage_headline, 2400),
     "draw1024": (_stage_draw1024, 1200),
     "fwd_bwd": (_stage_fwd_bwd, 1200),
+    "fwd_bwd_1024": (_stage_fwd_bwd_1024, 1200),
     "slots_soft": (_stage_slots_soft, 900),
     "fwd_bwd_soft": (_stage_fwd_bwd_soft, 1200),
     "slots_alpha": (_stage_slots_alpha, 900),

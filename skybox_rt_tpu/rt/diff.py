@@ -7,9 +7,16 @@ Policy (the RT analog of diff/pipeline's discrete-step policy):
   * WHERE it hits is continuous — t, u, v are *recomputed* from the winning
     primitive with the closed-form Möller–Trumbore solve, so gradients flow
     to ray origin/direction and to the triangle vertices
-  * silhouette (visibility) gradients are out of scope for the hard path,
+  * silhouette (visibility) gradients are out of scope for the HARD path,
     exactly as in the raster pipeline's hard-coverage mode; finite-diff
     validation excludes pixels whose winner changes
+  * the SOFT path (render_lambert_soft, round 5 — the RT twin of the
+    raster pipeline's soft_edge_temp mode) composites the top-K
+    plane-hit candidates per ray with sigmoid boundary weights and
+    front-to-back transmittance, so visibility IS differentiable:
+    gradients move object silhouettes (BASELINE.json configs[3] "pixel
+    grads w.r.t. vertex pos" including the visibility term), FD-validated
+    at winner-change pixels in tests/test_rt_diff.py
 
 This mirrors how diff/pipeline reuses the binning winner: discrete
 selection forward-exact, continuous attributes differentiable.
@@ -107,6 +114,120 @@ def render_lambert_smooth(verts, faces, normals, vert_colors, o, d,
     ndotl = jnp.maximum(jnp.sum(n * l, -1), 0.0)
     rgb = albedo * (ambient + ndotl[:, None])
     return jnp.where(hit[:, None], rgb, jnp.asarray(background, F32))
+
+
+def topk_plane_hits(verts, faces, o, d, K: int, t_min=1e-4, t_max=jnp.inf,
+                    margin: float = 0.2):
+    """Stop-gradient candidate enumeration for the soft path.
+
+    Intersects every ray with every primitive's support PLANE (not the
+    bounded triangle) and keeps candidates whose barycentric boundary
+    distance min(u, v, 1-u-v) > -margin — so near-miss primitives just
+    outside a ray's footprint are candidates too, which is what lets the
+    soft weights carry gradients ACROSS the silhouette (a hit-only
+    enumeration would zero the gradient one pixel outside the edge).
+    Returns (R, K) i32 prim ids in ascending-t order, -1 = none.
+
+    Brute force over (R, P) — the soft path targets inverse-rendering
+    scenes (small P, small images); selection is discrete and detached
+    either way, so a kernel-accelerated enumeration
+    (ops.pallas_rt.closest_hit_bvh_after) can replace this for large
+    scenes without touching the gradient math.
+    """
+    tri = intersect.triangle_arrays(verts, faces)
+    v0, e1, e2 = (jax.lax.stop_gradient(a) for a in tri)
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+
+    pvec = jnp.cross(d[:, None, :], e2[None])            # (R, P, 3)
+    det = jnp.sum(e1[None] * pvec, axis=-1)
+    valid = jnp.abs(det) > 1e-12
+    inv = 1.0 / jnp.where(valid, det, 1.0)
+    tvec = o[:, None, :] - v0[None]
+    u = jnp.sum(tvec * pvec, -1) * inv
+    qvec = jnp.cross(tvec, e1[None])
+    v = jnp.sum(d[:, None, :] * qvec, -1) * inv
+    t = jnp.sum(e2[None] * qvec, -1) * inv
+    bdist = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
+    cand = valid & (bdist > -margin) & (t > t_min) & (t < t_max)
+    key = jnp.where(cand, t, jnp.inf)
+    k = min(K, key.shape[1])
+    negt, idx = jax.lax.top_k(-key, k)                   # ascending t
+    prim = jnp.where(jnp.isfinite(negt), idx, -1).astype(jnp.int32)
+    if k < K:
+        prim = jnp.pad(prim, ((0, 0), (0, K - k)), constant_values=-1)
+    return prim
+
+
+def render_lambert_soft(verts, faces, vert_colors, o, d, light_dir,
+                        K: int = 4, temp: float = 0.02,
+                        margin: float = 0.2, ambient: float = 0.1,
+                        t_min=1e-4, shade_smooth: float = 0.05,
+                        background=(0., 0., 0.)):
+    """Differentiable RT render WITH silhouette gradients (the RT twin
+    of diff/pipeline's soft_edge_temp mode, VERDICT r4 #6).
+
+    Per ray, the K nearest plane-hit candidates (topk_plane_hits,
+    detached) are re-solved differentiably and composited front-to-back
+    with sigmoid coverage weights
+
+        w_k = sigmoid(min(u, v, 1-u-v) / temp)
+
+    and transmittance prod_{j<k}(1 - w_j); the remaining transmittance
+    takes the background.  w is ~1 inside a triangle, ~0 beyond the
+    margin, and smooth across the edge, so d(image)/d(vertex) includes
+    the visibility term — moving a vertex moves the silhouette.
+    The Lambert clamp is softplus-smoothed (shade_smooth) so the image
+    is C^1 through the terminator too — max(n.l, 0) kinks otherwise
+    break FD validation at terminator-adjacent candidates.
+    temp -> 0, shade_smooth -> 0 recover the hard image away from
+    edges.  Returns (R, 3).
+    """
+    prim_k = topk_plane_hits(verts, faces, o, d, K, t_min=t_min,
+                             margin=margin)
+    tri = intersect.triangle_arrays(verts, faces)
+    l = jnp.asarray(light_dir, F32)
+    l = l / jnp.linalg.norm(l)
+
+    R = o.shape[0]
+    rgb = jnp.zeros((R, 3), F32)
+    trans = jnp.ones((R,), F32)
+    for k in range(K):
+        prim = prim_k[:, k]
+        live = prim >= 0
+        p = jnp.maximum(prim, 0)
+        v0, e1, e2 = (a[p] for a in tri)
+        t, u, v = solve_hit(o, d, v0, e1, e2)
+        bdist = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
+        # smoothstep cutoff that reaches EXACTLY 0 at bdist = -margin:
+        # candidates enter/leave the detached top-K set with zero weight
+        # and C^1 continuity, so set-membership changes under
+        # perturbation cause no jump in the composite (FD-validated)
+        ramp = jnp.clip((bdist + F32(margin)) / F32(0.5 * margin),
+                        0.0, 1.0)
+        cut = ramp * ramp * (3.0 - 2.0 * ramp)
+        w = jax.nn.sigmoid(bdist / F32(temp)) * cut * live.astype(F32)
+
+        f = faces[p]
+        c0, c1, c2 = (vert_colors[f[:, j]] for j in range(3))
+        bw = (1.0 - u - v)
+        albedo = (c0 * bw[:, None] + c1 * u[:, None]
+                  + c2 * v[:, None])[:, :3]
+        n = jnp.cross(e1, e2)
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True),
+                            1e-20)
+        n = jnp.where(jnp.sum(n * d, -1, keepdims=True) > 0, -n, n)
+        ndotl = jnp.sum(n * l, -1)
+        if shade_smooth > 0:
+            s = F32(shade_smooth)
+            ndotl = s * jax.nn.softplus(ndotl / s)
+        else:
+            ndotl = jnp.maximum(ndotl, 0.0)
+        col = albedo * (ambient + ndotl[:, None])
+
+        rgb = rgb + (trans * w)[:, None] * col
+        trans = trans * (1.0 - w)
+    return rgb + trans[:, None] * jnp.asarray(background, F32)
 
 
 def render_lambert(verts, faces, vert_colors, o, d, light_dir,
