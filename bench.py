@@ -92,13 +92,12 @@ def _headline(jax):
     num_draws = len(arrays)
 
     # REPS short runs (each the 20-dispatched-frame reference window
-    # analog).  The tunnel's dispatch latency swings 6x between
-    # congestion windows (observed 3048 -> 541 Mpix/s for identical code
-    # 20 minutes apart; round 2's phantom 0.912x "regression" was this),
-    # so per VERDICT r3 the headline VALUE is the MEDIAN of the runs
-    # (comparable to the single-run round-1 baseline in expectation)
-    # and the BEST is recorded alongside as the min-time noise-rejected
-    # number (extra.headline_best).
+    # analog).  ROUND-5 REFRAME: this number is SUBMISSION throughput,
+    # not rendering — block_until_ready over the tunnel can return
+    # before the device finishes (PERF.md block_until_ready mirage), so
+    # these 2400-4700 "Mpix/s" track how fast frames can be ENQUEUED in
+    # the window.  Kept only for cross-round continuity; the headline
+    # value and vs_baseline use the D2H-barriered device-wall stage.
     runs = []
     for _ in range(REPS):
         t0 = time.perf_counter()
@@ -168,29 +167,54 @@ def _draw1024(jax):
     # degrade ~50x MID-RUN (observed: a pallas arm recording 19.9 while
     # the adjacent standalone probe ran 2597), and interleaving keeps a
     # one-sided collapse from reading as a mode regression.
+    # DEVICE-WALL protocol (r5): an N-draw compiled loop whose draw n+1
+    # data-depends on draw n's framebuffer through the sentinel count
+    # (the headline_device trick), timed at two lengths with a D2H
+    # barrier — the r1-r4 dispatch-loop numbers measured non-blocking
+    # submission, not rendering (PERF.md block_until_ready mirage)
+    e = jnp.asarray(binned.edges)
+    a = jnp.asarray(binned.attribs)
+    tp = jnp.asarray(binned.tile_pids)
+    txy = jnp.asarray(binned.tile_xy)
+    tls = binned.tile_logsize
+    SEN = jnp.uint32(0xDEADBEEF)
+
+    def make_loop(n, vis):
+        @jax.jit
+        def loop(fbc, fbd):
+            def body(_, carry):
+                fbc, fbd = carry
+                z = jnp.sum((fbc == SEN).astype(jnp.uint32))
+                e2 = e + z.astype(e.dtype)
+                a2 = a + z.astype(a.dtype)
+                tp2 = tp + z.astype(tp.dtype)
+                fbc, fbd, _ = deferred_mod._render_deferred_jit.__wrapped__(
+                    rs, texels, e2, a2, a2[:, 0], tp2, txy, fbc, fbd, tls,
+                    visibility=vis, blend_slots=0)
+                return fbc, fbd
+            return jax.lax.fori_loop(0, n, body, (fbc, fbd))
+        return loop
+
+    NA, NB = 6, 30
     modes = ["xla"]
     if jax.devices()[0].platform == "tpu":
         modes.append("pallas")
     out = {}
     dts = {}
-    for _round in range(2):
-        for vis in modes:
-            def run():
-                return deferred_mod.render_drawcall(rs, texels, binned,
-                                                    fbc, fbd,
-                                                    visibility=vis)
-            fb = run()
-            jax.block_until_ready(fb)
-            n = 20
+    for vis in modes:
+        la, lb = make_loop(NA, vis), make_loop(NB, vis)
+        _sync(jax, la(fbc, fbd))
+        _sync(jax, lb(fbc, fbd))
+        best = 1e9
+        for _ in range(3):
             t0 = time.perf_counter()
-            for _ in range(n):
-                fb = run()
-            jax.block_until_ready(fb)
-            dt = (time.perf_counter() - t0) / n
-            mpix = round(W * H / dt / 1e6, 1)
-            if mpix > out.get(vis, 0.0):
-                out[vis] = mpix
-                dts[vis] = dt
+            _sync(jax, la(fbc, fbd))
+            t1 = time.perf_counter()
+            _sync(jax, lb(fbc, fbd))
+            t2 = time.perf_counter()
+            best = min(best, ((t2 - t1) - (t1 - t0)) / (NB - NA))
+        out[vis] = round(W * H / best / 1e6, 1)
+        dts[vis] = best
     for vis in modes:
         dt = dts[vis]
         if vis == "xla":
@@ -264,20 +288,31 @@ def _fwd_bwd(jax, mode="hard", probe_slots_only=False, size=512):
 
     grad_fn = jax.value_and_grad(loss_fn)
 
-    @jax.jit
-    def loop(params):
-        def body(_, carry):
-            params, acc = carry
-            loss, g = grad_fn(params)
-            params = {k: v - 1e-6 * g[k] if k in g else v
-                      for k, v in params.items()}
-            return params, acc + loss
-        return jax.lax.fori_loop(0, STEPS, body, (params, 0.0))
+    def make_loop(n):
+        @jax.jit
+        def loop(params):
+            def body(_, carry):
+                params, acc = carry
+                loss, g = grad_fn(params)
+                params = {k: v - 1e-6 * g[k] if k in g else v
+                          for k, v in params.items()}
+                return params, acc + loss
+            return jax.lax.fori_loop(0, n, body, (params, 0.0))
+        return loop
 
-    out = jax.block_until_ready(loop(params))
-    t0 = time.perf_counter()
-    out = jax.block_until_ready(loop(params))
-    wall = time.perf_counter() - t0
+    # two loop lengths + D2H barrier, STEPS = the difference (the r1-r4
+    # single-loop block_until_ready timing is mirage-prone — see _sync)
+    la, lb = make_loop(5), make_loop(5 + STEPS)
+    _sync(jax, la(params))
+    _sync(jax, lb(params))
+    wall = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _sync(jax, la(params))
+        t1 = time.perf_counter()
+        _sync(jax, lb(params))
+        t2 = time.perf_counter()
+        wall = min(wall, (t2 - t1) - (t1 - t0))
     roof = None
     try:
         # MEASURED unit-traffic model (VERDICT r4 #3): the diff
@@ -316,13 +351,14 @@ def _rt_config3(jax):
     img = frame_mod.render_trace_rt_fused(trace, 512, 512)  # hint warmup
     assert np.isfinite(img).all()
     fn, arrays, rays, metas = frame_mod.make_frame_fn(trace, 512, 512)
-    out = jax.block_until_ready(fn(arrays, *rays))          # compile warm
-    n = 5
-    t0 = time.perf_counter()
-    for _ in range(n):
+    out = fn(arrays, *rays)
+    _sync(jax, out)                # compile + real completion
+    dt = 1e9
+    for _ in range(5):
+        t0 = time.perf_counter()
         out = fn(arrays, *rays)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n
+        _sync(jax, out)            # D2H barrier (block_until_ready lies)
+        dt = min(dt, time.perf_counter() - t0)
     _, _, ovf = out
     assert not np.asarray(ovf).any(), "K-slot overflow in timed frame"
     return dt * 1e3
@@ -344,22 +380,36 @@ def _rt_northstar(jax):
                         fov_y_deg=55.0)
     cfg = tracer.RTConfig(width=W, height=H, bounces=2, shadows=True)
     frame, (o, d) = tracer.make_frame_fn(scene, cam, cfg)
-    img = jax.block_until_ready(frame(o, d))
-    n = 3
-    t0 = time.perf_counter()
-    for _ in range(n):
+    _sync(jax, frame(o, d))        # compile + real completion
+    dt = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
         img = frame(o, d)
-    jax.block_until_ready(img)
-    dt = (time.perf_counter() - t0) / n
+        _sync(jax, img)            # D2H barrier (block_until_ready lies)
+        dt = min(dt, time.perf_counter() - t0)
     return W * H * (2 + 2 * cfg.bounces) / dt / 1e6
+
+
+def _sync(jax, x):
+    """Force REAL device completion before reading the clock.
+
+    jax.block_until_ready over the axon tunnel can return BEFORE the
+    device finishes (measured round 5: a 634 ms 120-frame loop "blocked"
+    in 0.06 ms, then a 4-byte readback of the same result took the full
+    634 ms — see PERF.md "the block_until_ready mirage").  A D2H readback
+    cannot lie about data existence, so every timed region ends with a
+    tiny-slice readback instead."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return np.asarray(leaf[(0,) * leaf.ndim])
 
 
 def _headline_device(jax):
     """Device-wall 256^2 frame rate (the r5 headline): two compiled
     N-frame loops (N1/N2), frame-to-frame data dependence via the
     sentinel-count carry, rate from the difference quotient (cancels
-    dispatch+sync RTT).  Verifies AFTER timing that the sentinel never
-    rendered and the loop's final frame == the single-dispatch frame."""
+    dispatch+sync RTT and the constant barrier cost).  Verifies AFTER
+    timing that the sentinel never rendered and the loop's final frame
+    == the single-dispatch frame."""
     from skybox_rt_tpu.geom import cgltrace
     from skybox_rt_tpu.ref import driver as ref_driver
 
@@ -387,9 +437,9 @@ def _headline_device(jax):
     rates = []
     for _ in range(DEVICE_REPS):
         t0 = time.perf_counter()
-        jax.block_until_ready(loop1(arrays))
+        _sync(jax, loop1(arrays))
         t1 = time.perf_counter()
-        jax.block_until_ready(loop2(arrays))
+        _sync(jax, loop2(arrays))
         t2 = time.perf_counter()
         dt_frame = ((t2 - t1) - (t1 - t0)) / (DEVICE_LOOP_N2 -
                                               DEVICE_LOOP_N1)
@@ -426,9 +476,10 @@ def _stage_window_probe(jax):
         y = f(y)
     jax.block_until_ready(y)
     dispatch_ms = (time.perf_counter() - t0) / n * 1e3
-    # sync RTT: one blocked tiny op
+    # sync RTT: one tiny op with a REAL D2H barrier (_sync)
+    _sync(jax, f(y))
     t0 = time.perf_counter()
-    jax.block_until_ready(f(y))
+    _sync(jax, f(y))
     rtt_ms = (time.perf_counter() - t0) * 1e3
     return {"window_probe_ms": round(dispatch_ms, 3),
             "window_rtt_ms": round(rtt_ms, 2)}

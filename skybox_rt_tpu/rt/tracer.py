@@ -382,7 +382,13 @@ def trace_rays(scene_arrays, cfg: RTConfig, closest, occluded,
                 active = weight[..., 0] > 0
                 perm = jnp.argsort(_compact_key(active, ro, rd),
                                    stable=True)
-                inv_perm = jnp.argsort(perm)
+                # inverse by SCATTER, not a second argsort: perm is a
+                # permutation, so inv[perm[i]] = i exactly inverts it at
+                # one (R,) i32 scatter (~1 ms) instead of a second 1M-row
+                # sort (~8 ms measured, PERF.md round-4 argsort line)
+                inv_perm = jnp.zeros_like(perm).at[perm].set(
+                    jnp.arange(perm.shape[0], dtype=perm.dtype),
+                    unique_indices=True)
                 # park beyond any scene, heading away: every slab/triangle
                 # test fails with t_far < 0, so dead tiles skip wholesale
                 park_o = jnp.asarray([3e7, 3e7, 3e7], F32)
