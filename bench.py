@@ -53,10 +53,11 @@ FRAMES = 20
 # cost ~2 s and tighten the median against intra-stage drift
 REPS = 9
 ROUND1_BASELINE_MPIX_S = 2939.332   # BENCH_r01.json, v5e 1 chip (dispatch)
-# Device-wall baseline: measured r5 (scripts/headline_device first run,
-# v5e 1 chip, compile_frame_loop diff-quotient protocol).  vs_baseline
-# compares against THIS number from round 5 on.
-DEVICE_BASELINE_MPIX_S = None       # pinned after first chip measurement
+# Device-wall baseline: measured r5 2026-08-21 (median of 5 diff-quotient
+# reps, v5e 1 chip; reproduced 26.1-26.2 across four processes and three
+# tunnel windows incl. a 0.07 -> 26 ms RTT swing).  vs_baseline compares
+# against THIS number from round 5 on (vs_baseline_metric in extra).
+DEVICE_BASELINE_MPIX_S = 26.2
 DEVICE_LOOP_N1 = 100
 DEVICE_LOOP_N2 = 500
 DEVICE_REPS = 5
