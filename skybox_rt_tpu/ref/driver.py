@@ -69,16 +69,15 @@ def make_texture_binding(trace: cgltrace.CGLTrace, drawcall,
     )
     texels = sampler_mod.make_texel_array(vx_format, mip_chain)
     if (sampler_mod.quad_supported(tex_state)
-            and os.environ.get("SKYBOX_QUAD", "0") == "1"):
+            and os.environ.get("SKYBOX_QUAD", "1") == "1"):
         # 2x2 quad-table layout: one gather per bilinear sample instead
-        # of four (exact; see sampler.quad_supported).  OFF by default:
-        # same-window e2e at 1024^2 measured the quad table 43x SLOWER
-        # for real draws (28.5 vs 0.66 ms/draw) — rasterized uv streams
-        # are spatially coherent and XLA's gather runs coherent 4 B-row
-        # fetches ~100x faster than random, an advantage the 4x-wider
-        # 64 B quad rows forfeit.  The table only wins for INCOHERENT
-        # index streams (random-uv sample-only: 5.7 vs 35.4 ms/Mpx,
-        # PERF.md round 3); opt in via SKYBOX_QUAD=1.
+        # of four (exact; see sampler.quad_supported).  ON by default
+        # since round 5: under the honest device-wall protocol the quad
+        # table HALVES the 1024^2 textured draw (52.0 -> 26.1 ms/draw,
+        # 20.2 -> 40.1 Mpix/s, same-window A/B both visibility engines).
+        # The round-3 "43x slower" rejection was an artifact of the
+        # block_until_ready mirage (PERF.md r5): it compared submission
+        # rates, not rendering.  Opt out via SKYBOX_QUAD=0.
         texels = sampler_mod.make_texel_quad_array(tex_state, texels)
         tex_state = dataclasses.replace(tex_state, quad=True)
     return tex_state, jnp.asarray(texels)

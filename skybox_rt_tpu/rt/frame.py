@@ -48,7 +48,19 @@ I32 = jnp.int32
 
 _EXTREME_FUNCS = (C.CGL_COMPARE_LESS, C.CGL_COMPARE_LEQUAL,
                   C.CGL_COMPARE_GREATER, C.CGL_COMPARE_GEQUAL)
-_DEFAULT_K = 4
+#: Starting slot count for K-slot draws with no measured hint: the probe
+#: walk + doubling retry DISCOVERS the scene's true per-ray fragment
+#: ceiling in <= log2 renders (cached per trace), so starting low costs
+#: at most a few recompiles once and saves (K - K_true) kernel walks on
+#: every subsequent frame (vase's blended shells are single-layer:
+#: K_true = 1, where a fixed default of 4 wasted 3 walks per draw).
+_DEFAULT_K = 1
+#: Blended/ordering-free draws at or below this prim count skip the
+#: K-slot kernel walks and run the exact vectorized submission-order
+#: scan (raster_bridge._scan_drawcall_jit math) inside the same jit: at
+#: P <= 64 the O(R x P) scan is a handful of ms and needs no
+#: probe/overflow machinery (vase draws 0/4/5 are 2/60/2 prims).
+_SCAN_MAX_PRIMS = 64
 _BIG_PRIM = jnp.int32(2 ** 30)
 
 # (trace id, draw index) -> measured slot count K (the RT twin of the
@@ -91,8 +103,13 @@ def _build_plan(trace, width: int, height: int, start_draw: int,
         tri = np.ascontiguousarray(
             clip[idx][:, :, [0, 1, 3]].astype(np.float32))   # (P,3,3) x,y,w
         P = tri.shape[0]
-        prep = rb._engine_prep(tri, "pallas_bvh")
-        blocks = prep["blocks"]
+
+        winner = (not st.blend_enabled and st.depth_test
+                  and st.depth_func in _EXTREME_FUNCS)
+        scan = (not winner) and P <= _SCAN_MAX_PRIMS
+        blocks = None
+        if not scan:
+            blocks = rb._engine_prep(tri, "pallas_bvh")["blocks"]
 
         if st.texture_enabled:
             tex = trace.textures[dc.texture_id]
@@ -102,11 +119,9 @@ def _build_plan(trace, width: int, height: int, start_draw: int,
         else:
             img = jnp.zeros((1, 1, 4), F32)
 
-        winner = (not st.blend_enabled and st.depth_test
-                  and st.depth_func in _EXTREME_FUNCS)
         farthest = st.depth_func in (C.CGL_COMPARE_GREATER,
                                      C.CGL_COMPARE_GEQUAL)
-        if winner:
+        if winner or scan:
             k = 1
         else:
             k = k_hints.get(di, min(_DEFAULT_K, P))
@@ -117,21 +132,37 @@ def _build_plan(trace, width: int, height: int, start_draw: int,
             "colattr": jnp.asarray(np.asarray(geo["color"], np.float32)),
             "uvattr": jnp.asarray(np.asarray(geo["uv"], np.float32)),
             "img": img,
-            "tri": blocks["tri"],
-            "bcnt": blocks["bcnt"],
-            "s2p": blocks["s2p"],
-            "levels": list(blocks["levels"]),
         }
+        if scan:
+            # per-triangle attribute rows for the vectorized scan (the
+            # exact raster_bridge._scan_drawcall layout)
+            arrays.update({
+                "v0": jnp.asarray(tri[:, 0]),
+                "e1": jnp.asarray(tri[:, 1] - tri[:, 0]),
+                "e2": jnp.asarray(tri[:, 2] - tri[:, 0]),
+                "zw": jnp.asarray(clip[idx][:, :, 2:4]),
+                "col": jnp.asarray(
+                    np.asarray(geo["color"], np.float32)[idx]),
+                "uvv": jnp.asarray(np.asarray(geo["uv"], np.float32)[idx]),
+            })
+        else:
+            arrays.update({
+                "tri": blocks["tri"],
+                "bcnt": blocks["bcnt"],
+                "s2p": blocks["s2p"],
+                "levels": list(blocks["levels"]),
+            })
         meta = {
             "draw_index": di,
             "statics": statics,
-            "mode": "winner" if winner else "kslot",
+            "mode": ("winner" if winner else
+                     "scan" if scan else "kslot"),
             "farthest": bool(farthest),
             "far_d": float(tri[..., 2].max()) + 1.0,
             "K": k,
             "P": P,
-            "tri_block": blocks["tri_block"],
-            "num_blocks": blocks["num_blocks"],
+            "tri_block": blocks["tri_block"] if blocks else 0,
+            "num_blocks": blocks["num_blocks"] if blocks else 0,
         }
         plan.append((meta, arrays))
     return plan
@@ -244,6 +275,13 @@ def make_frame_fn(trace, width: int, height: int, *, sub: int = 2,
         overflow = []
 
         for meta, arr in zip(metas, arrays):
+            if meta["mode"] == "scan":
+                # exact vectorized submission-order scan (tiny draws)
+                zbuf, color = rb._scan_drawcall_jit.__wrapped__(
+                    meta["statics"], arr["v0"], arr["e1"], arr["e2"],
+                    arr["zw"], arr["col"], arr["uvv"], arr["img"],
+                    nx, ny, zbuf, color)
+                continue
             blocks = _blocks(meta, arr)
             if meta["mode"] == "winner":
                 if meta["farthest"]:

@@ -102,27 +102,73 @@ def test_fused_frame_matches_scan_oracle():
     assert diff.max() <= 1e-3, f"max diff {diff.max()}"
 
 
+def _layered_trace(layers=3, grid=6):
+    """Synthetic one-drawcall trace: `layers` stacked viewport-covering
+    triangle sheets (grid x grid quads each), blend on, depth off — every
+    pixel receives `layers` fragments in submission order, and P > the
+    scan cutoff so the K-slot kernel path (not the tiny-draw scan) runs."""
+    import types
+
+    from skybox_rt_tpu.core import constants as Cc
+
+    verts, idx, cols, uvs = [], [], [], []
+    for li in range(layers):
+        base = len(verts)
+        w = 1.0
+        for gy in range(grid + 1):
+            for gx in range(grid + 1):
+                # deterministic jitter: no pixel ray grazes a shared
+                # edge, so kernel-vs-scan MT rounding can't flip an
+                # inclusive edge hit (float tie sensitivity, not a bug)
+                j = 0.013 * np.sin(12.9898 * gx + 78.233 * gy + li)
+                x = (2.0 * gx / grid - 1.0) * w + j
+                y = (2.0 * gy / grid - 1.0) * w - j
+                verts.append([x, y, 0.2 + 0.2 * li, 1.0])
+                cols.append([0.9 - 0.2 * li, 0.3 + 0.2 * li, 0.5, 0.5])
+                uvs.append([gx / grid, gy / grid])
+        for gy in range(grid):
+            for gx in range(grid):
+                v00 = base + gy * (grid + 1) + gx
+                v10 = v00 + 1
+                v01 = v00 + (grid + 1)
+                v11 = v01 + 1
+                idx.append([v00, v10, v11])
+                idx.append([v00, v11, v01])
+    P = len(idx)
+    assert P > frame._SCAN_MAX_PRIMS, P
+
+    st = types.SimpleNamespace(
+        stencil_test=False, blend_enabled=True,
+        blend_src=Cc.CGL_BLEND_SRC_ALPHA,
+        blend_dst=Cc.CGL_BLEND_ONE_MINUS_SRC_ALPHA,
+        depth_test=False, depth_func=0, depth_writemask=0,
+        texture_enabled=False, texture_envmode=0,
+        texture_addressU=0, texture_magfilter=0,
+        color_enabled=True, color_writemask=0xFFFFFFFF)
+    dc = types.SimpleNamespace(
+        pos=np.asarray(verts, np.float32),
+        indices=np.asarray(idx, np.int32),
+        color=np.asarray(cols, np.float32),
+        texcoord=np.asarray(uvs, np.float32),
+        near=0.0, far=1.0, states=st, texture_id=-1)
+    tr = types.SimpleNamespace(drawcalls=[dc], textures={})
+    return tr
+
+
 def test_fused_frame_overflow_retry_converges():
-    """A deliberately starved K (1 slot for every blended draw) must be
-    caught by the probe walk and doubled until the image is exact."""
-    tkey = frame._trace_key(VASE)
-    baseline = frame.render_trace_rt_fused(VASE, 32, 32)
-    # starve: K=1 hints for all non-winner draws
-    saved = dict(frame._K_HINTS)
-    try:
-        frame._K_HINTS.clear()
-        for di in range(len(VASE.drawcalls)):
-            frame._K_HINTS[(tkey, di)] = 1
-        frame._FRAME_CACHE.clear()
-        out = frame.render_trace_rt_fused(VASE, 32, 32)
-        np.testing.assert_allclose(out, baseline, atol=1e-5)
-        # the retry loop must have RAISED hints above the starved value
-        assert any(k > 1 for (tk, _), k in frame._K_HINTS.items()
-                   if tk == tkey)
-    finally:
-        frame._K_HINTS.clear()
-        frame._K_HINTS.update(saved)
-        frame._FRAME_CACHE.clear()
+    """A scene whose per-ray fragment count (3 stacked translucent
+    layers) exceeds the starting K must trip the probe walk and double K
+    until the image matches the exact scan oracle."""
+    tr = _layered_trace(layers=3)
+    tkey = frame._trace_key(tr)
+    out = frame.render_trace_rt_fused(tr, 32, 32)
+    # the retry loop must have discovered K >= 3 for the kslot draw
+    ks = [k for (tk, _), k in frame._K_HINTS.items() if tk == tkey]
+    assert ks and max(ks) >= 3, ks
+    oracle = raster_bridge.render_trace_rt(tr, 32, 32, engine="brute",
+                                          camera="perspective")
+    diff = np.abs(out[..., :3] - oracle[..., :3]).max(-1)
+    assert diff.max() <= 1e-3, f"max diff {diff.max()}"
 
 
 def test_fused_frame_is_single_dispatch():
@@ -131,11 +177,12 @@ def test_fused_frame_is_single_dispatch():
     fn, arrays, rays, metas = frame.make_frame_fn(VASE, 32, 32)
     zbuf, color, ovf = fn(arrays, *rays)
     assert color.shape == (32 * 32, 4)
-    # the vase plan: draw 1 opaque LESS -> winner kernel; draws with
-    # blend/no-depth -> K-slot enumeration
+    # the vase plan: draw 1 opaque LESS -> winner kernel; big blended
+    # draws (2, 3) -> K-slot enumeration; tiny draws (0, 4, 5; P <= 64)
+    # -> exact vectorized scan inside the same jit
     modes = {m["draw_index"]: m["mode"] for m in metas}
-    assert modes[1] == "winner"
-    assert all(m == "kslot" for d, m in modes.items() if d != 1)
+    assert modes == {0: "scan", 1: "winner", 2: "kslot", 3: "kslot",
+                     4: "scan", 5: "scan"}
     # probed draws (K < P) report an overflow count each
     assert ovf.shape[0] == sum(1 for m in metas
                                if m["mode"] == "kslot" and m["K"] < m["P"])
