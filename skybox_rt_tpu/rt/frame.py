@@ -255,7 +255,7 @@ def make_frame_fn(trace, width: int, height: int, *, sub: int = 2,
     metas = [m for m, _ in plan]
     ckey = (tkey, width, height, start_draw, min(end_draw, 2 ** 31),
             tuple((m["draw_index"], m["mode"], m["K"]) for m in metas),
-            sub, bool(interpret), on_stencil)
+            sub, bool(interpret), on_stencil, _SCAN_MAX_PRIMS)
     cached = _FRAME_CACHE.get(ckey)
     if cached is not None:
         return cached
