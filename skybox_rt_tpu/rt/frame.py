@@ -57,10 +57,12 @@ _EXTREME_FUNCS = (C.CGL_COMPARE_LESS, C.CGL_COMPARE_LEQUAL,
 _DEFAULT_K = 1
 #: Blended/ordering-free draws at or below this prim count skip the
 #: K-slot kernel walks and run the exact vectorized submission-order
-#: scan (raster_bridge._scan_drawcall_jit math) inside the same jit: at
-#: P <= 64 the O(R x P) scan is a handful of ms and needs no
-#: probe/overflow machinery (vase draws 0/4/5 are 2/60/2 prims).
-_SCAN_MAX_PRIMS = 64
+#: scan (raster_bridge._scan_drawcall_jit math) inside the same jit.
+#: Measured sweep on chip (vase 512^2, scripts/rt_probe2_r5.py, honest
+#: D2H timing): cutoff 0 -> 158.4 ms, cutoff 2 -> 144.9 ms, cutoff 64
+#: -> 527.0 ms — each sequential scan STEP costs several ms at 512^2,
+#: so only the 2-prim full-screen quads beat their own K-slot walks.
+_SCAN_MAX_PRIMS = 2
 _BIG_PRIM = jnp.int32(2 ** 30)
 
 # (trace id, draw index) -> measured slot count K (the RT twin of the

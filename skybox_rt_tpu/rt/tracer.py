@@ -28,6 +28,11 @@ I32 = jnp.int32
 # blocked-kernel VMEM residency bound (ops/pallas_rt.py): beyond this the
 # tracer falls back to the stackless BVH engine
 PALLAS_MAX_TRIS = 15000
+#: Treelet block size for the pallas_bvh engine (rt.bvh.build_block_set):
+#: coarser blocks amortize the ~10 us per-(program, block) grid-step
+#: overhead; 512 measured best at 1.31M tris (10.9 -> 11.5 Mrays/s,
+#: scripts/rt_probe2_r5.py), with tighter cuts losing (128: 9.1).
+BVH_TRI_BLOCK = 256
 
 
 @dataclasses.dataclass(frozen=True)
@@ -195,7 +200,8 @@ def make_intersectors(scene: RTScene, cfg: RTConfig):
         import jax
 
         interpret = jax.devices()[0].platform not in ("tpu",)
-        block_set = bvh_mod.build_block_set(scene.bvh, tri_block=256)
+        block_set = bvh_mod.build_block_set(scene.bvh,
+                                            tri_block=BVH_TRI_BLOCK)
         blocks = pallas_rt.prepare_bvh_blocks(*tri, block_set)
         # (16, 128) ray tiles: 2048-ray bundles halve the conservative
         # cone width vs the 4096-ray default — measured faster on every

@@ -177,12 +177,12 @@ def test_fused_frame_is_single_dispatch():
     fn, arrays, rays, metas = frame.make_frame_fn(VASE, 32, 32)
     zbuf, color, ovf = fn(arrays, *rays)
     assert color.shape == (32 * 32, 4)
-    # the vase plan: draw 1 opaque LESS -> winner kernel; big blended
-    # draws (2, 3) -> K-slot enumeration; tiny draws (0, 4, 5; P <= 64)
-    # -> exact vectorized scan inside the same jit
+    # the vase plan: draw 1 opaque LESS -> winner kernel; blended draws
+    # above the scan cutoff (2, 3, 4) -> K-slot enumeration; the 2-prim
+    # full-screen quads (0, 5) -> exact vectorized scan in the same jit
     modes = {m["draw_index"]: m["mode"] for m in metas}
     assert modes == {0: "scan", 1: "winner", 2: "kslot", 3: "kslot",
-                     4: "scan", 5: "scan"}
+                     4: "kslot", 5: "scan"}
     # probed draws (K < P) report an overflow count each
     assert ovf.shape[0] == sum(1 for m in metas
                                if m["mode"] == "kslot" and m["K"] < m["P"])
