@@ -74,6 +74,10 @@ class RTConfig:
     # rays are parked at a far origin and grouped into contiguous blocks,
     # so the Pallas kernels' whole-tile AABB gates skip them outright.
     compact_bounces: bool = True
+    # compaction permutation: 'argsort' (octant+Morton full sort),
+    # 'octant' (counting sort, no Morton — see _compact_perm), or
+    # 'partition' (active-first only)
+    compact_method: str = "argsort"
     background: tuple = (0.0, 0.0, 0.0, 1.0)
     ambient: float = 0.1
     light_dir: tuple = (0.4, 0.8, 0.45)   # directional light (to light)
@@ -175,6 +179,56 @@ def _compact_key(active, o, d):
         | _part1by2_i32(q[:, 2])
     key = (oct_ << 27) | m
     return jnp.where(active, key, jnp.int32(1) << 30)
+
+
+def _bucket_perm(key, num_buckets: int):
+    """Stable counting-sort permutation for a SMALL integer key — no
+    argsort: rank-within-bucket via a (R, B) cumsum of one-hots plus
+    bucket offsets.  Returns (perm, inv) with out[i] = in[perm[i]].
+
+    Honest device walls (PERF.md r5): the 1M-ray Morton argsort
+    compaction costs 56.6 ms per bounce; this is a few (R, B) passes at
+    HBM rate."""
+    B = num_buckets
+    onehot = (key[:, None] == jnp.arange(B, dtype=key.dtype)[None]
+              ).astype(I32)                          # (R, B)
+    ranks = jnp.cumsum(onehot, axis=0) - 1           # (R, B) in-bucket rank
+    counts = ranks[-1] + 1
+    offsets = jnp.concatenate([jnp.zeros(1, I32),
+                               jnp.cumsum(counts)[:-1]])
+    pos = offsets[key] + jnp.take_along_axis(
+        ranks, key[:, None].astype(I32), 1)[:, 0]    # destination of ray i
+    perm = jnp.zeros_like(pos).at[pos].set(
+        jnp.arange(pos.shape[0], dtype=pos.dtype), unique_indices=True)
+    return perm, pos
+
+
+def _compact_perm(active, o, d, method: str):
+    """Bounce-compaction permutation (perm, inv): surviving rays to the
+    front, dead rays last.  method:
+      'argsort'   — (octant, origin-Morton) full sort (_compact_key)
+      'octant'    — counting sort by direction octant only; within an
+                    octant rays keep their previous (pixel-tile) order,
+                    so origins stay spatially local without the Morton
+                    key or the 1M-row sort
+      'partition' — active-first 2-bucket split only
+    """
+    if method == "argsort":
+        perm = jnp.argsort(_compact_key(active, o, d), stable=True)
+        inv = jnp.zeros_like(perm).at[perm].set(
+            jnp.arange(perm.shape[0], dtype=perm.dtype),
+            unique_indices=True)
+        return perm, inv
+    if method == "octant":
+        oct_ = ((d[:, 0] > 0).astype(I32)
+                | ((d[:, 1] > 0).astype(I32) << 1)
+                | ((d[:, 2] > 0).astype(I32) << 2))
+        key = jnp.where(active, oct_, jnp.int32(8))
+        return _bucket_perm(key, 9)
+    if method == "partition":
+        key = jnp.where(active, jnp.int32(0), jnp.int32(1))
+        return _bucket_perm(key, 2)
+    raise ValueError(f"unknown compact_method {method!r}")
 
 
 def _interp3(rows3, u, v):
@@ -386,15 +440,8 @@ def trace_rays(scene_arrays, cfg: RTConfig, closest, occluded,
                 # runs in the compacted order too, so shadow bundles
                 # inherit the same locality; outputs unsort at the end.
                 active = weight[..., 0] > 0
-                perm = jnp.argsort(_compact_key(active, ro, rd),
-                                   stable=True)
-                # inverse by SCATTER, not a second argsort: perm is a
-                # permutation, so inv[perm[i]] = i exactly inverts it at
-                # one (R,) i32 scatter (~1 ms) instead of a second 1M-row
-                # sort (~8 ms measured, PERF.md round-4 argsort line)
-                inv_perm = jnp.zeros_like(perm).at[perm].set(
-                    jnp.arange(perm.shape[0], dtype=perm.dtype),
-                    unique_indices=True)
+                perm, inv_perm = _compact_perm(active, ro, rd,
+                                               cfg.compact_method)
                 # park beyond any scene, heading away: every slab/triangle
                 # test fails with t_far < 0, so dead tiles skip wholesale
                 park_o = jnp.asarray([3e7, 3e7, 3e7], F32)

@@ -319,3 +319,36 @@ def test_bounce_compaction_image_identical(engine):
         scene, cam, tracer.RTConfig(compact_bounces=False, **kw)))
     np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
     assert np.isfinite(a).all()
+
+
+@pytest.mark.parametrize("method", ["argsort", "octant", "partition"])
+def test_compact_methods_image_identical(method):
+    """Every compaction permutation (full Morton argsort, octant
+    counting sort, active-first partition — rt.tracer._compact_perm) is
+    a pure scheduling change: identical image."""
+    scene = _sphere_scene(reflectivity=0.6)
+    cam = tracer.Camera(eye=(0, 0.8, 3.5), look_at=(0, 0, 0))
+    kw = dict(width=32, height=32, bounces=2, shadows=True, engine="bvh")
+    a = np.asarray(tracer.render(
+        scene, cam, tracer.RTConfig(compact_bounces=True,
+                                    compact_method=method, **kw)))
+    b = np.asarray(tracer.render(
+        scene, cam, tracer.RTConfig(compact_bounces=False, **kw)))
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
+def test_bucket_perm_is_stable_counting_sort():
+    rng = np.random.default_rng(0)
+    key = jnp.asarray(rng.integers(0, 9, size=1000).astype(np.int32))
+    perm, inv = tracer._bucket_perm(key, 9)
+    perm, inv = np.asarray(perm), np.asarray(inv)
+    k = np.asarray(key)
+    sorted_keys = k[perm]
+    assert (np.diff(sorted_keys) >= 0).all()          # bucket-ordered
+    # stability: equal keys keep original relative order
+    for b in range(9):
+        idx = perm[sorted_keys == b]
+        assert (np.diff(idx) > 0).all()
+    # inv really inverts
+    assert (perm[inv] == np.arange(1000)).all()
+    assert (inv[perm] == np.arange(1000)).all()
