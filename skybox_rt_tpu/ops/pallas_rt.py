@@ -860,6 +860,28 @@ ENTRY_LEVEL_SHIFT = 24
 ENTRY_START_MASK = (1 << ENTRY_LEVEL_SHIFT) - 1
 
 
+#: SMEM budget for the (G, L) worklist table (v5e SMEM is ~1 MB total;
+#: leave headroom for the tc/bcnt prefetch operands and spill slots).
+#: Witnessed: sub=1 (G=1024) with L=256 compiles to a 1.00 MB operand
+#: and the chip compile fails "Ran out of memory in memory space smem".
+_SMEM_WL_BUDGET = 860 * 1024
+
+
+def _clamp_L(L, G, blocks):
+    """Shrink L to the SMEM worklist budget for this ray count (safe:
+    smaller L only forces coarser 8^l range entries, never drops work);
+    raise if even the coarsest level cannot fit."""
+    top = blocks["levels"][-1].shape[0]
+    max_l = _SMEM_WL_BUDGET // (G * 4)
+    if max_l < top:
+        raise ValueError(
+            f"worklist table for G={G} ray blocks cannot hold even the "
+            f"coarsest {top}-entry level within SMEM "
+            f"({_SMEM_WL_BUDGET // 1024} KB): use a larger `sub` (fewer "
+            "ray blocks) or a smaller build_block_set top_size")
+    return min(L, max_l)
+
+
 def _validate_bvh_args(blocks, L, unroll):
     """Correctness preconditions the kernels cannot check themselves."""
     if blocks["levels"][-1].shape[0] > L:
@@ -1211,9 +1233,10 @@ def closest_hit_bvh(orig, direction, blocks, t_max=None,
     L: SMEM worklist entry capacity per ray block (>= 64; ray blocks
     whose exact block list overflows take coarser 8^l range entries).
     Returns (prim (R,) i32 in ORIGINAL ids, t, u, v)."""
+    rays, R, Rp, G = _pack_rays(orig, direction, sub=sub)
+    L = _clamp_L(L, G, blocks)
     _validate_bvh_args(blocks, L, unroll)
     P = blocks["num_prims"]
-    rays, R, Rp, G = _pack_rays(orig, direction, sub=sub)
     tmax_arr = _pack_tmax(t_max, G, sub=sub)
 
     bt, bp, bu, bv = _bvh_worklist_call(
@@ -1389,8 +1412,9 @@ def bvh_worklists(orig, direction, blocks, t_max=None, sub: int = 2,
     closest_hit_bvh_after.  The lists depend only on (rays, t_max), so a
     K-walk enumeration over the same rays computes them ONCE and shares
     them across every walk."""
-    _validate_bvh_args(blocks, L, 8)
     rays, R, Rp, G = _pack_rays(orig, direction, sub=sub)
+    L = _clamp_L(L, G, blocks)
+    _validate_bvh_args(blocks, L, 8)
     tmax_arr = _pack_tmax(t_max, G, sub=sub)
     wl, ec, total = _conservative_entry_lists(
         rays, tmax_arr, tuple(blocks["levels"]), L,
@@ -1584,8 +1608,9 @@ def any_hit_bvh(orig, direction, blocks, t_max=1.0, t_min: float = 1e-4,
     """Occlusion query through the hierarchical worklist path with a
     whole-tile early-out (shadow-ray twin of closest_hit_bvh).
     Returns (R,) bool."""
-    _validate_bvh_args(blocks, L, 8)
     rays, R, Rp, G = _pack_rays(orig, direction, sub=sub)
+    L = _clamp_L(L, G, blocks)
+    _validate_bvh_args(blocks, L, 8)
     tm = (jnp.full((orig.shape[0],), t_max, F32) if jnp.ndim(t_max) == 0
           else jnp.asarray(t_max, F32))
     tmax_arr = _pack_tmax(tm, G, sub=sub)
