@@ -1460,7 +1460,8 @@ def closest_hit_bvh_after(blocks, worklists, t_lo, slot_lo,
     return slot, prim, t, u, v
 
 
-def _make_bvh_anyhit_kernel(t_min: float, tri_block: int, num_blocks: int):
+def _make_bvh_anyhit_kernel(t_min: float, tri_block: int, num_blocks: int,
+                            unroll: int = 8):
     """Occlusion twin of the BVH worklist kernel: no best-hit record —
     an occluded ray's window is collapsed (tmax -> -inf) so the embedded
     slab gate skips blocks for it automatically, and the worklist loop
@@ -1536,8 +1537,8 @@ def _make_bvh_anyhit_kernel(t_min: float, tri_block: int, num_blocks: int):
                 nt = bcnt_ref[blk(e, off)]
 
                 def step(h, _):
-                    for s in range(8):
-                        j = h * 8 + s
+                    for s in range(unroll):
+                        j = h * unroll + s
                         hit, _, _, _ = _mt_one(ox, oy, oz, dx, dy, dz,
                                                trs[j], t_min, win_ref[:])
                         occ_ref[0] = jnp.where(hit, 1, occ_ref[0])
@@ -1547,7 +1548,7 @@ def _make_bvh_anyhit_kernel(t_min: float, tri_block: int, num_blocks: int):
                         win_ref[:] = jnp.where(hit, -jnp.inf, win_ref[:])
                     return 0
 
-                jax.lax.fori_loop(0, (nt + 7) // 8, step, 0)
+                jax.lax.fori_loop(0, (nt + unroll - 1) // unroll, step, 0)
 
             alive = jnp.any(win_ref[:] > -jnp.inf)
             return p + 1, ne, noff, alive
@@ -1569,15 +1570,16 @@ def _make_bvh_anyhit_kernel(t_min: float, tri_block: int, num_blocks: int):
 
 @functools.partial(jax.jit, static_argnames=("t_min", "tri_block",
                                              "num_blocks", "sub", "L",
-                                             "interpret"))
+                                             "interpret", "unroll"))
 def _bvh_anyhit_call(rays, tri, tmax_arr, levels, bcnt, t_min, tri_block,
-                     num_blocks, sub, L, interpret):
+                     num_blocks, sub, L, interpret, unroll=8):
     G = rays[0].shape[0]
     # occlusion has no benefit from front-to-back (any hit ends the ray);
     # id-order entries skip the distance keys
     wl, ec, total = _conservative_entry_lists(rays, tmax_arr, levels, L,
                                               front_to_back=False)
-    kernel = _make_bvh_anyhit_kernel(t_min, tri_block, num_blocks)
+    kernel = _make_bvh_anyhit_kernel(t_min, tri_block, num_blocks,
+                                     unroll=unroll)
     ray_spec = pl.BlockSpec((1, sub * 8, LANES), lambda g, *_: (g, 0, 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1604,20 +1606,21 @@ def _bvh_anyhit_call(rays, tri, tmax_arr, levels, bcnt, t_min, tri_block,
 
 
 def any_hit_bvh(orig, direction, blocks, t_max=1.0, t_min: float = 1e-4,
-                sub: int = 4, L: int = 256, interpret: bool = False):
+                sub: int = 4, L: int = 256, interpret: bool = False,
+                unroll: int = 8):
     """Occlusion query through the hierarchical worklist path with a
     whole-tile early-out (shadow-ray twin of closest_hit_bvh).
     Returns (R,) bool."""
     rays, R, Rp, G = _pack_rays(orig, direction, sub=sub)
     L = _clamp_L(L, G, blocks)
-    _validate_bvh_args(blocks, L, 8)
+    _validate_bvh_args(blocks, L, unroll)
     tm = (jnp.full((orig.shape[0],), t_max, F32) if jnp.ndim(t_max) == 0
           else jnp.asarray(t_max, F32))
     tmax_arr = _pack_tmax(tm, G, sub=sub)
     occ = _bvh_anyhit_call(rays, blocks["tri"], tmax_arr,
                            tuple(blocks["levels"]), blocks["bcnt"], t_min,
                            blocks["tri_block"], blocks["num_blocks"],
-                           sub, L, interpret)
+                           sub, L, interpret, unroll=unroll)
     return occ.reshape(Rp)[:R] > 0
 
 
