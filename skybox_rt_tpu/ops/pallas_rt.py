@@ -867,12 +867,14 @@ ENTRY_START_MASK = (1 << ENTRY_LEVEL_SHIFT) - 1
 _SMEM_WL_BUDGET = 860 * 1024
 
 
-def _clamp_L(L, G, blocks):
+def _clamp_L(L, G, blocks, bytes_per_entry: int = 4):
     """Shrink L to the SMEM worklist budget for this ray count (safe:
     smaller L only forces coarser 8^l range entries, never drops work);
-    raise if even the coarsest level cannot fit."""
+    raise if even the coarsest level cannot fit.  bytes_per_entry: 4 for
+    the wl table alone, 8 when the kernel also prefetches the per-entry
+    early-exit distances (closest_hit_bvh)."""
     top = blocks["levels"][-1].shape[0]
-    max_l = _SMEM_WL_BUDGET // (G * 4)
+    max_l = _SMEM_WL_BUDGET // (G * bytes_per_entry)
     if max_l < top:
         raise ValueError(
             f"worklist table for G={G} ray blocks cannot hold even the "
@@ -1016,7 +1018,10 @@ def _conservative_entry_lists(rays, tmax_arr, levels, L,
     order wins (VERDICT r3 #9); both orders come from the same argsort.
 
     Returns (wl (G, L) i32 entries, ec (G,) entry counts,
-             total (G,) summed block counts).
+             total (G,) summed block counts, etn (G, L) f32 per-entry
+             conservative entry distances — the early-exit keys:
+             nondecreasing along each row under front-to-back order,
+             -inf when id order was chosen (exit disabled)).
     """
     C = levels[0].shape[0]
     bounds = _ray_block_bounds(rays, tmax_arr)
@@ -1041,14 +1046,21 @@ def _conservative_entry_lists(rays, tmax_arr, levels, L,
                         jnp.where(use_ftb, tn_lb, idx[None].astype(F32)),
                         INF)
         k = min(L, Cl)
-        _, sel = jax.lax.top_k(-key, k)                        # ascending
+        negk, sel = jax.lax.top_k(-key, k)                     # ascending
         sel = sel.astype(I32)
         starts = sel * span
         entries = (jnp.int32(lvl) << ENTRY_LEVEL_SHIFT) | starts
+        # per-entry early-exit key: the sorted tn_lb itself under
+        # front-to-back; -inf (never exit) under id order, where the
+        # key values are block indices, not distances
+        etn = jnp.where(use_ftb, -negk, -INF)
         if k < L:                                              # Cl < L
             entries = jnp.pad(entries, ((0, 0), (0, L - k)))
+            etn = jnp.pad(etn, ((0, 0), (0, L - k)),
+                          constant_values=float("inf"))
         lens = jnp.where(active, jnp.minimum(span, C - idx[None] * span), 0)
-        per_level.append((entries, cnt, jnp.sum(lens, axis=1).astype(I32)))
+        per_level.append((entries, cnt, jnp.sum(lens, axis=1).astype(I32),
+                          etn))
 
     nl = len(per_level)
     if nl == 1:
@@ -1061,11 +1073,13 @@ def _conservative_entry_lists(rays, tmax_arr, levels, L,
     wl_all = jnp.stack([p[0] for p in per_level])        # (nl, G, L)
     ec_all = jnp.stack([p[1] for p in per_level])
     tc_all = jnp.stack([p[2] for p in per_level])
+    etn_all = jnp.stack([p[3] for p in per_level])
     g_iota = jnp.arange(G)
     wl = wl_all[lvl_sel, g_iota]
     ec = ec_all[lvl_sel, g_iota]
     total = tc_all[lvl_sel, g_iota]
-    return wl, ec, total
+    etn = etn_all[lvl_sel, g_iota]
+    return wl, ec, total, etn
 
 
 def _slab_embedded(row0, ox, oy, oz, inv_dx, inv_dy, inv_dz, far):
@@ -1086,15 +1100,22 @@ def _slab_embedded(row0, ox, oy, oz, inv_dx, inv_dy, inv_dz, far):
 
 
 def _make_bvh_worklist_kernel(t_min: float, tri_block: int, num_blocks: int,
-                              unroll: int = 8):
+                              unroll: int = 8, L: int = 256,
+                              early_exit: bool = True):
     C = num_blocks
 
-    def kernel(wl_ref, tc_ref, bcnt_ref,           # SMEM prefetch
+    def kernel(wl_ref, tc_ref, bcnt_ref, etn_ref,  # SMEM prefetch
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                tmax_ref,                           # VMEM ray tiles
                tri_hbm,                            # (C*TB, 128) in HBM
                bt_ref, bp_ref, bu_ref, bv_ref,     # outs
                tri_vmem, sem):                     # (2, TB, 128) + DMA sems
+        # wl_ref / etn_ref are TRANSPOSED (L, G): SMEM pads a table's
+        # minor dim to 128 lanes, so (G, L) rows would pad L -> its next
+        # 128 multiple (witnessed: (512, 215) tables allocating 512 KB
+        # each and blowing the 1 MB budget); with G on the minor dim
+        # (always a multiple of 128 ray blocks? no — but >= 128-aligned
+        # in practice via _pack_rays padding) the tables store exact.
         g = pl.program_id(0)
         total = tc_ref[g]
         bt_ref[0] = tmax_ref[0]
@@ -1103,12 +1124,12 @@ def _make_bvh_worklist_kernel(t_min: float, tri_block: int, num_blocks: int,
         bv_ref[0] = jnp.zeros(bt_ref.shape[1:], F32)
 
         def entry_len(e):
-            ent = wl_ref[g, e]
+            ent = wl_ref[e, g]
             span = jnp.int32(1) << (3 * (ent >> ENTRY_LEVEL_SHIFT))
             return jnp.minimum(span, C - (ent & ENTRY_START_MASK))
 
         def blk(e, off):
-            return (wl_ref[g, e] & ENTRY_START_MASK) + off
+            return (wl_ref[e, g] & ENTRY_START_MASK) + off
 
         def advance(e, off):
             wrap = off + 1 >= entry_len(e)
@@ -1135,8 +1156,12 @@ def _make_bvh_worklist_kernel(t_min: float, tri_block: int, num_blocks: int,
         inv_dy = _inv_dir(dy)
         inv_dz = _inv_dir(dz)
 
-        def loop(p, carry):
-            e, off = carry
+        def cond(carry):
+            p, e, off, alive = carry
+            return (p < total) & alive
+
+        def body(carry):
+            p, e, off, _ = carry
             slot = jax.lax.rem(p, 2)
             ne, noff = advance(e, off)
 
@@ -1175,9 +1200,41 @@ def _make_bvh_worklist_kernel(t_min: float, tri_block: int, num_blocks: int,
                     return 0
 
                 jax.lax.fori_loop(0, (nt + unroll - 1) // unroll, step, 0)
-            return ne, noff
 
-        jax.lax.fori_loop(0, total, loop, (jnp.int32(0), jnp.int32(0)))
+            # FRONT-TO-BACK EARLY EXIT (round 5): entries are sorted by
+            # conservative entry distance and every hit in a later entry
+            # has t >= its etn, so once the NEXT entry's etn exceeds
+            # every ray's running best_t nothing later can win — skip
+            # the whole tail (its gates AND its DMAs).  Under id order
+            # the prepass emits etn = -inf, disabling the exit; the
+            # strict > keeps exact-tie lower-slot winners reachable.
+            alive = etn_ref[jnp.minimum(ne, L - 1), g] <= jnp.max(bt_ref[0])
+            return p + 1, ne, noff, alive
+
+        if early_exit:
+            p, e, off, alive = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                             total > 0))
+
+            # an early exit leaves the NEXT block's prefetch in flight —
+            # every started DMA must be awaited or the program aborts at
+            # teardown (any_hit kernel lesson, PERF.md round 4)
+            @pl.when(p < total)
+            def _drain():
+                get_dma(jax.lax.rem(p, 2), blk(e, off)).wait()
+        else:
+            # plain fori walk (no etn reads, no per-block tile max):
+            # measured better for frames whose slab gate already prunes
+            # well and whose L budget matters more (north-star: 459.4 ms
+            # without vs 468.9 with — the 8-byte entries clamp L 256 ->
+            # 209 at G=512)
+            def loop(p, carry):
+                e, off = carry
+                _, e2, off2, _ = body((p, e, off, True))
+                return e2, off2
+
+            jax.lax.fori_loop(0, total, loop,
+                              (jnp.int32(0), jnp.int32(0)))
 
     return kernel
 
@@ -1185,19 +1242,22 @@ def _make_bvh_worklist_kernel(t_min: float, tri_block: int, num_blocks: int,
 @functools.partial(jax.jit, static_argnames=("t_min", "tri_block",
                                              "num_blocks", "sub", "L",
                                              "interpret", "front_to_back",
-                                             "unroll"))
+                                             "unroll", "early_exit"))
 def _bvh_worklist_call(rays, tri, tmax_arr, levels, bcnt, t_min, tri_block,
                        num_blocks, sub, L, interpret, front_to_back=True,
-                       unroll=8):
+                       unroll=8, early_exit=True):
     G = rays[0].shape[0]
-    wl, ec, total = _conservative_entry_lists(rays, tmax_arr, levels, L,
-                                              front_to_back=front_to_back)
+    wl, ec, total, etn = _conservative_entry_lists(
+        rays, tmax_arr, levels, L, front_to_back=front_to_back)
+    if not early_exit:
+        etn = jnp.zeros((G, 1), F32)     # unused: keep SMEM for wl
     kernel = _make_bvh_worklist_kernel(t_min, tri_block, num_blocks,
-                                       unroll=unroll)
+                                       unroll=unroll, L=L,
+                                       early_exit=early_exit)
     ray_spec = pl.BlockSpec((1, sub * 8, LANES), lambda g, *_: (g, 0, 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,           # wl, total, bcnt (SMEM)
+        num_scalar_prefetch=4,           # wl, total, bcnt, etn (SMEM)
         grid=(G,),
         in_specs=[ray_spec] * 7 + [
             pl.BlockSpec(memory_space=pl.ANY),      # records stay in HBM
@@ -1220,21 +1280,25 @@ def _bvh_worklist_call(rays, tri, tmax_arr, levels, bcnt, t_min, tri_block,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(wl, total, bcnt, *rays, tmax_arr, tri)
+    )(wl.T, total, bcnt, etn.T, *rays, tmax_arr, tri)
 
 
 def closest_hit_bvh(orig, direction, blocks, t_max=None,
                     t_min: float = 1e-4, sub: int = 4, L: int = 256,
                     interpret: bool = False, front_to_back: bool = True,
-                    unroll: int = 8):
+                    unroll: int = 8, early_exit: bool = True):
     """Hierarchical large-scene closest hit (see module section comment).
 
     blocks: prepare_bvh_blocks output (BVH-treelet record blocks).
     L: SMEM worklist entry capacity per ray block (>= 64; ray blocks
     whose exact block list overflows take coarser 8^l range entries).
+    early_exit: front-to-back per-entry-tn early exit of the block walk
+    (round 5: +7 % at 1.31M tris; costs L budget — the per-entry table
+    doubles SMEM bytes — so dense frames may prefer False, PERF.md).
     Returns (prim (R,) i32 in ORIGINAL ids, t, u, v)."""
     rays, R, Rp, G = _pack_rays(orig, direction, sub=sub)
-    L = _clamp_L(L, G, blocks)
+    L = _clamp_L(L, G, blocks,
+                 bytes_per_entry=8 if early_exit else 4)
     _validate_bvh_args(blocks, L, unroll)
     P = blocks["num_prims"]
     tmax_arr = _pack_tmax(t_max, G, sub=sub)
@@ -1242,7 +1306,8 @@ def closest_hit_bvh(orig, direction, blocks, t_max=None,
     bt, bp, bu, bv = _bvh_worklist_call(
         rays, blocks["tri"], tmax_arr, tuple(blocks["levels"]),
         blocks["bcnt"], t_min, blocks["tri_block"], blocks["num_blocks"],
-        sub, L, interpret, front_to_back=front_to_back, unroll=unroll)
+        sub, L, interpret, front_to_back=front_to_back, unroll=unroll,
+        early_exit=early_exit)
 
     slot = bp.reshape(Rp)[:R]
     miss = slot < 0
@@ -1416,7 +1481,7 @@ def bvh_worklists(orig, direction, blocks, t_max=None, sub: int = 2,
     L = _clamp_L(L, G, blocks)
     _validate_bvh_args(blocks, L, 8)
     tmax_arr = _pack_tmax(t_max, G, sub=sub)
-    wl, ec, total = _conservative_entry_lists(
+    wl, ec, total, _etn = _conservative_entry_lists(
         rays, tmax_arr, tuple(blocks["levels"]), L,
         front_to_back=front_to_back)
     return {"wl": wl, "total": total, "rays": rays, "tmax": tmax_arr,
@@ -1576,8 +1641,9 @@ def _bvh_anyhit_call(rays, tri, tmax_arr, levels, bcnt, t_min, tri_block,
     G = rays[0].shape[0]
     # occlusion has no benefit from front-to-back (any hit ends the ray);
     # id-order entries skip the distance keys
-    wl, ec, total = _conservative_entry_lists(rays, tmax_arr, levels, L,
-                                              front_to_back=False)
+    wl, ec, total, _etn = _conservative_entry_lists(rays, tmax_arr,
+                                                    levels, L,
+                                                    front_to_back=False)
     kernel = _make_bvh_anyhit_kernel(t_min, tri_block, num_blocks,
                                      unroll=unroll)
     ray_spec = pl.BlockSpec((1, sub * 8, LANES), lambda g, *_: (g, 0, 0),

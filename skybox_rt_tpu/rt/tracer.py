@@ -37,6 +37,12 @@ BVH_TRI_BLOCK = 256
 #: BVH_TRI_BLOCK); 16 measured faster at 1.31M tris (12.1 vs 11.5
 #: Mrays/s) AND on the north-star frame (505.2 -> 477.5 ms).
 BVH_UNROLL = 16
+#: Front-to-back early exit in the closest-hit walk: wins at very high
+#: block occupancy (1.31M tris: 86.9 -> 81.3 ms) but its per-entry SMEM
+#: table clamps L 256 -> 209 at 1M rays and the north-star frame is
+#: slightly faster without it (459.4 vs 468.9 ms) — off in the tracer,
+#: on by default for standalone closest_hit_bvh calls.
+BVH_EARLY_EXIT = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -274,6 +280,7 @@ def make_intersectors(scene: RTScene, cfg: RTConfig):
             return pallas_rt.closest_hit_bvh(o, d, blocks, t_max=tm,
                                              sub=sub, L=L,
                                              unroll=BVH_UNROLL,
+                                             early_exit=BVH_EARLY_EXIT,
                                              interpret=interpret)
 
         def occluded(o, d, t_max):

@@ -367,3 +367,51 @@ def test_bvh_anyhit_matches_bruteforce():
                                    interpret=INTERPRET)
     assert not np.asarray(occ_w2)[park].any()
     np.testing.assert_array_equal(np.asarray(occ_b2), np.asarray(occ_w2))
+
+
+def test_bvh_early_exit_parity_depth_stacked():
+    """Front-to-back early exit (round 5): a depth-stacked scene whose
+    rays see MANY active blocks (mean >> 2, so the prepass picks
+    entry-distance order and emits real etn keys) must return the exact
+    brute-force winner — the exit may only skip provably-occluded
+    tails."""
+    import jax.numpy as jnp
+
+    from skybox_rt_tpu.models import scenes as scn
+    from skybox_rt_tpu.rt import bvh as bvh_mod
+    from skybox_rt_tpu.rt import intersect
+
+    rng = np.random.default_rng(7)
+    vs, fs = [], []
+    # 12 icospheres stacked along +z: every ray crosses many treelets
+    for i in range(12):
+        v, f = scn.icosphere(subdiv=2, radius=0.8)
+        v = v + np.asarray([0.0, 0.0, 2.0 * i], np.float32)
+        fs.append(f + sum(x.shape[0] for x in vs))
+        vs.append(v)
+    verts = np.concatenate(vs).astype(np.float32)
+    faces = np.concatenate(fs).astype(np.int64)
+    tri = intersect.triangle_arrays(jnp.asarray(verts), jnp.asarray(faces))
+
+    bvh = bvh_mod.build_sah(verts, faces)
+    bs = bvh_mod.build_block_set(bvh, tri_block=64)
+    blocks = pallas_rt.prepare_bvh_blocks(*tri, bs)
+
+    R = 4096
+    o = np.zeros((R, 3), np.float32)
+    o[:, 0] = rng.uniform(-0.7, 0.7, R)
+    o[:, 1] = rng.uniform(-0.7, 0.7, R)
+    o[:, 2] = -3.0
+    d = np.tile(np.asarray([[0.0, 0.0, 1.0]], np.float32), (R, 1))
+    d[:, 0] += rng.uniform(-0.05, 0.05, R).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    prim, t, u, v = pallas_rt.closest_hit_bvh(
+        jnp.asarray(o), jnp.asarray(d), blocks, sub=2, interpret=True)
+    p_ref, t_ref, _, _ = intersect.closest_hit_bruteforce(
+        jnp.asarray(o), jnp.asarray(d), *tri, t_min=1e-4)
+    np.testing.assert_array_equal(np.asarray(prim), np.asarray(p_ref))
+    hits = np.asarray(p_ref) >= 0
+    assert hits.mean() > 0.8          # the scene really is depth-stacked
+    np.testing.assert_allclose(np.asarray(t)[hits],
+                               np.asarray(t_ref)[hits], rtol=1e-5)
