@@ -244,6 +244,6 @@ def test_roofline_from_traffic():
          "tiles": 24, "prims": 10}
     assert perf_mod.traffic_bytes(t) == 8_000_000
     r = perf_mod.roofline_from_traffic(t, seconds=1e-3)
-    assert r["bytes_model"] == "unit-traffic"
+    assert r["bytes_model"] == "measured_unit_traffic"
     assert r["bound_by"] == "hbm"
     assert abs(r["achieved_gb_per_s"] - 8.0) < 1e-6
