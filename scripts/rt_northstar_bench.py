@@ -78,19 +78,24 @@ def main():
 
     t0 = time.perf_counter()
     frame, (o, d) = tracer.make_frame_fn(scene, cam, cfg)
-    img = jax.block_until_ready(frame(o, d))
+
+    def _sync(x):
+        # D2H barrier: block_until_ready over the tunnel can return
+        # before the device finishes (PERF.md r5 mirage) — a readback
+        # cannot
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        return np.asarray(leaf[(0,) * leaf.ndim])
+
+    img = frame(o, d)
+    _sync(img)
     print(f"compile+first frame: {time.perf_counter()-t0:.0f}s", flush=True)
 
-    # time BEFORE any device->host read: the axon tunnel permanently
-    # drops the process to synchronous dispatch after the first D2H
-    # transfer of any size (PERF.md round 4 — measured 0.04 -> 2.5-4 ms
-    # per dispatch), so image checks come after the timed loop
-    n = 5
-    t0 = time.perf_counter()
-    for _ in range(n):
+    dt = 1e9
+    for _ in range(4):
+        t0 = time.perf_counter()
         img = frame(o, d)
-    jax.block_until_ready(img)
-    dt = (time.perf_counter() - t0) / n
+        _sync(img)
+        dt = min(dt, time.perf_counter() - t0)
     img_np = np.asarray(img)
     assert np.isfinite(img_np).all()
     cover = (img_np[..., :3].sum(-1) > 0).mean()
