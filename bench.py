@@ -646,7 +646,8 @@ def main():
         "value": mpix_s,
         "unit": "Mpix/s",
         "vs_baseline": (round(mpix_s / DEVICE_BASELINE_MPIX_S, 3)
-                        if mpix_s and DEVICE_BASELINE_MPIX_S else 1.0),
+                        if mpix_s and DEVICE_BASELINE_MPIX_S
+                        else (1.0 if mpix_s else None)),
         "extra": extra,
     }))
 

@@ -30,15 +30,12 @@ state is static (compiled in), the DCR analog (main.cpp:216-331).
 """
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
 from ..core import constants as C
-from ..geom import cgltrace
 from ..texture import mipmap
 from ..ops import pallas_rt
 from . import raster_bridge as rb
