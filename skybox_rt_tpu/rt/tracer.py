@@ -43,6 +43,11 @@ BVH_UNROLL = 16
 #: slightly faster without it (459.4 vs 468.9 ms) — off in the tracer,
 #: on by default for standalone closest_hit_bvh calls.
 BVH_EARLY_EXIT = False
+#: Early exit for BOUNCE closest-hit launches only: bounce bundles are
+#: divergent (mean active blocks/ray-block is the frame's highest), the
+#: regime where the front-to-back exit pays, while primary/shadow
+#: launches keep the full L=256 worklist.
+BVH_EARLY_EXIT_BOUNCE = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,6 +93,21 @@ class RTConfig:
     # 'octant' (counting sort, no Morton — see _compact_perm), or
     # 'partition' (active-first only)
     compact_method: str = "argsort"
+    # stay in compacted order across bounces (one packed row gather per
+    # bounce + one final scatter) instead of unsorting every bounce's
+    # outputs (4 row gathers + an inverse-permutation scatter per
+    # bounce).  Pure scheduling change — identical image
+    # (tests/test_rt.py identity tests run both).
+    compact_stay: bool = True
+    # number of width halvings for the bounce shape ladder: each bounce's
+    # closest+shade runs at width R, R/2, ... R>>n picked at RUNTIME by
+    # the live-ray count (nested lax.cond).  Compacted live rays are a
+    # prefix and every per-ray result is independent of launch width, so
+    # this is exact; rows past the chosen width are dead (weight 0) and
+    # get parked outputs.  Trades compile time (one body per rung) for
+    # skipping the full-width shade gathers/math on late bounces.
+    # Requires compact_stay.  0 = off.
+    bounce_width_ladder: int = 0
     background: tuple = (0.0, 0.0, 0.0, 1.0)
     ambient: float = 0.1
     light_dir: tuple = (0.4, 0.8, 0.45)   # directional light (to light)
@@ -213,7 +233,7 @@ def _bucket_perm(key, num_buckets: int):
     return perm, pos
 
 
-def _compact_perm(active, o, d, method: str):
+def _compact_perm(active, o, d, method: str, want_inv: bool = True):
     """Bounce-compaction permutation (perm, inv): surviving rays to the
     front, dead rays last.  method:
       'argsort'   — (octant, origin-Morton) full sort (_compact_key)
@@ -222,9 +242,13 @@ def _compact_perm(active, o, d, method: str):
                     so origins stay spatially local without the Morton
                     key or the 1M-row sort
       'partition' — active-first 2-bucket split only
+    want_inv=False skips the inverse-permutation scatter (the
+    stay-compacted bounce loop never unsorts, so it never needs it).
     """
     if method == "argsort":
         perm = jnp.argsort(_compact_key(active, o, d), stable=True)
+        if not want_inv:
+            return perm, None
         inv = jnp.zeros_like(perm).at[perm].set(
             jnp.arange(perm.shape[0], dtype=perm.dtype),
             unique_indices=True)
@@ -274,7 +298,7 @@ def make_intersectors(scene: RTScene, cfg: RTConfig):
         # SMEM ceiling at the doubled G (G*L*4 B table, 1 MB budget)
         sub, L = 2, 256
 
-        def closest(o, d, t_max=jnp.inf):
+        def closest(o, d, t_max=jnp.inf, bounce=False):
             tm = None if t_max is jnp.inf else jnp.broadcast_to(
                 jnp.asarray(t_max, F32), o.shape[:1])
             return pallas_rt.closest_hit_bvh(o, d, blocks, t_max=tm,
@@ -301,7 +325,7 @@ def make_intersectors(scene: RTScene, cfg: RTConfig):
         interpret = jax.devices()[0].platform not in ("tpu",)
         order = bvh_mod.build_clusters(scene.bvh)["order"]
 
-        def closest(o, d, t_max=jnp.inf):
+        def closest(o, d, t_max=jnp.inf, bounce=False):
             tm = None if t_max is jnp.inf else jnp.broadcast_to(
                 jnp.asarray(t_max, F32), o.shape[:1])
             return hit_fn(
@@ -327,7 +351,7 @@ def make_intersectors(scene: RTScene, cfg: RTConfig):
         # traversal itself: 4x argsort(1M) per shadowed frame) and
         # unsorts only the final image.  Shadow/bounce batches inherit
         # the hit points' spatial coherence, so the intersectors stay raw.
-        def closest(o, d, t_max=jnp.inf):
+        def closest(o, d, t_max=jnp.inf, bounce=False):
             tm = None if t_max is jnp.inf else jnp.broadcast_to(
                 jnp.asarray(t_max, F32), o.shape[:1])
             return pallas_rt.closest_hit_clustered(
@@ -345,7 +369,7 @@ def make_intersectors(scene: RTScene, cfg: RTConfig):
         bvh_arr = scene.bvh.as_stackless_arrays()
         ls = scene.bvh.leaf_size
 
-        def closest(o, d, t_max=jnp.inf):
+        def closest(o, d, t_max=jnp.inf, bounce=False):
             return bvh_mod.closest_hit_stackless(bvh_arr, tri, o, d,
                                                  t_max=t_max, leaf_size=ls)
 
@@ -353,7 +377,7 @@ def make_intersectors(scene: RTScene, cfg: RTConfig):
             return bvh_mod.any_hit_stackless(bvh_arr, tri, o, d,
                                              t_max=t_max, leaf_size=ls)
     else:
-        def closest(o, d, t_max=jnp.inf):
+        def closest(o, d, t_max=jnp.inf, bounce=False):
             return intersect.closest_hit_bruteforce(*((o, d) + tri),
                                                     t_max=t_max)
 
@@ -444,6 +468,79 @@ def trace_rays(scene_arrays, cfg: RTConfig, closest, occluded,
         refl = F32(reflectivity)
         weight = jnp.where(hit, refl, 0.0)[..., None]
         cur_o, cur_d, cur_n = pt, d, n
+        if cfg.compact_bounces and cfg.compact_stay:
+            # Stay-compacted bounce loop: state lives in the compacted
+            # order of the LATEST bounce; `orig` maps each slot back to
+            # launch order and ONE final scatter restores it.  Replaces
+            # the per-bounce unsort (4 row gathers + an
+            # inverse-permutation scatter) with one packed row gather —
+            # 1M-row gathers are row-count-bound on v5e (~41 ms each,
+            # PERF.md r5 shade attribution), so gather COUNT is the
+            # cost.  Per-ray arithmetic is identical: pure scheduling.
+            park_o = jnp.asarray([3e7, 3e7, 3e7], F32)
+            park_d = jnp.asarray([0.57735, 0.57735, 0.57735], F32)
+            bg3 = jnp.asarray(cfg.background[:3], F32)
+            orig = jnp.arange(rgb.shape[0], dtype=I32)
+            hitf = hit.astype(F32)[:, None]
+            for _ in range(cfg.bounces):
+                rd = cur_d - 2.0 * jnp.sum(cur_d * cur_n, -1,
+                                           keepdims=True) * cur_n
+                ro = cur_o + cur_n * 1e-3
+                active = weight[..., 0] > 0
+                perm, _ = _compact_perm(active, ro, rd,
+                                        cfg.compact_method,
+                                        want_inv=False)
+                packed = jnp.concatenate(
+                    [jnp.where(active[..., None], ro, park_o),
+                     jnp.where(active[..., None], rd, park_d),
+                     rgb, weight, hitf], axis=1)      # (R, 11)
+                pc = packed[perm]                     # ONE row gather
+                orig = orig[perm]
+                ro_c, rd_c = pc[:, 0:3], pc[:, 3:6]
+                rgb, weight, hitf = pc[:, 6:9], pc[:, 9:10], pc[:, 10:11]
+
+                def run_at(w, R=rgb.shape[0]):
+                    def f(args):
+                        ro_s, rd_s = args[0][:w], args[1][:w]
+                        p2, t2, u2, v2 = closest(ro_s, rd_s, bounce=True)
+                        rgb2, hit2, pt2, n2 = shade_hits(
+                            scene_arrays, cfg, occluded, ro_s, rd_s,
+                            p2, t2, u2, v2)
+                        pad = R - w
+                        if pad:
+                            z3 = jnp.zeros((pad, 3), F32)
+                            rgb2 = jnp.concatenate([rgb2, z3])
+                            hit2 = jnp.concatenate(
+                                [hit2, jnp.zeros((pad,), bool)])
+                            pt2 = jnp.concatenate([pt2, z3 + park_o])
+                            n2 = jnp.concatenate(
+                                [n2, z3 + jnp.asarray([0., 0., 1.], F32)])
+                        return rgb2, hit2, pt2, n2
+                    return f
+
+                R = rgb.shape[0]
+                if cfg.bounce_width_ladder:
+                    live = jnp.sum(active.astype(I32))
+                    f = run_at(R)
+                    for k in range(1, cfg.bounce_width_ladder + 1):
+                        w = R >> k
+                        if w < 512:   # not worth a rung below one bundle
+                            break
+                        f = (lambda fw, ff, w=w: lambda args:
+                             jax.lax.cond(live <= w, fw, ff, args)
+                             )(run_at(w), f)
+                else:
+                    f = run_at(R)
+                rgb2, hit2, pt2, n2 = f((ro_c, rd_c))
+                contrib = jnp.where(hit2[..., None], rgb2, bg3)
+                rgb = rgb * (1.0 - weight) + contrib * weight
+                weight = weight * jnp.where(hit2, refl, 0.0)[..., None]
+                cur_o, cur_d, cur_n = pt2, rd_c, n2
+            out = jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], -1)
+            rgba = jnp.where(hitf > 0.5, out,
+                             jnp.asarray(cfg.background, F32))
+            return jnp.zeros_like(rgba).at[orig].set(
+                rgba, unique_indices=True)
         for _ in range(cfg.bounces):
             rd = cur_d - 2.0 * jnp.sum(cur_d * cur_n, -1, keepdims=True) * cur_n
             ro = cur_o + cur_n * 1e-3

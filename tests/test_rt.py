@@ -321,6 +321,38 @@ def test_bounce_compaction_image_identical(engine):
     assert np.isfinite(a).all()
 
 
+def test_compact_stay_image_identical():
+    """The stay-compacted bounce loop (state kept in compacted order,
+    one packed gather per bounce + one final scatter) is a pure
+    scheduling change vs the per-bounce unsort path: identical image."""
+    scene = _sphere_scene(reflectivity=0.6)
+    cam = tracer.Camera(eye=(0, 0.8, 3.5), look_at=(0, 0, 0))
+    kw = dict(width=48, height=48, bounces=2, shadows=True,
+              engine="pallas", compact_bounces=True)
+    a = np.asarray(tracer.render(
+        scene, cam, tracer.RTConfig(compact_stay=True, **kw)))
+    b = np.asarray(tracer.render(
+        scene, cam, tracer.RTConfig(compact_stay=False, **kw)))
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+    assert np.isfinite(a).all()
+
+
+def test_bounce_width_ladder_image_identical():
+    """The bounce shape ladder (closest+shade at a runtime-chosen
+    width R >> k, lax.cond over the live count) is exact: live rays are
+    a compacted prefix and per-ray results are launch-width-independent."""
+    scene = _sphere_scene(reflectivity=0.6)
+    cam = tracer.Camera(eye=(0, 0.8, 3.5), look_at=(0, 0, 0))
+    kw = dict(width=64, height=64, bounces=2, shadows=True,
+              engine="pallas", compact_bounces=True, compact_stay=True)
+    a = np.asarray(tracer.render(
+        scene, cam, tracer.RTConfig(bounce_width_ladder=2, **kw)))
+    b = np.asarray(tracer.render(
+        scene, cam, tracer.RTConfig(bounce_width_ladder=0, **kw)))
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+    assert np.isfinite(a).all()
+
+
 @pytest.mark.parametrize("method", ["argsort", "octant", "partition"])
 def test_compact_methods_image_identical(method):
     """Every compaction permutation (full Morton argsort, octant
