@@ -106,8 +106,11 @@ class RTConfig:
     # this is exact; rows past the chosen width are dead (weight 0) and
     # get parked outputs.  Trades compile time (one body per rung) for
     # skipping the full-width shade gathers/math on late bounces.
-    # Requires compact_stay.  0 = off.
-    bounce_width_ladder: int = 0
+    # Requires compact_stay.  0 = off.  Default 2: north-star 1024^2
+    # 2-bounce frame 460.5 -> 426.4 ms same-window, image bit-identical
+    # (scripts/rt_probe6_r5.py); bounce-2+ compactions also prefix-sort
+    # at the laddered width.
+    bounce_width_ladder: int = 2
     background: tuple = (0.0, 0.0, 0.0, 1.0)
     ambient: float = 0.1
     light_dir: tuple = (0.4, 0.8, 0.45)   # directional light (to light)
@@ -482,20 +485,53 @@ def trace_rays(scene_arrays, cfg: RTConfig, closest, occluded,
             bg3 = jnp.asarray(cfg.background[:3], F32)
             orig = jnp.arange(rgb.shape[0], dtype=I32)
             hitf = hit.astype(F32)[:, None]
-            for _ in range(cfg.bounces):
+            prev_live = None
+            for b in range(cfg.bounces):
                 rd = cur_d - 2.0 * jnp.sum(cur_d * cur_n, -1,
                                            keepdims=True) * cur_n
                 ro = cur_o + cur_n * 1e-3
                 active = weight[..., 0] > 0
-                perm, _ = _compact_perm(active, ro, rd,
-                                        cfg.compact_method,
-                                        want_inv=False)
                 packed = jnp.concatenate(
                     [jnp.where(active[..., None], ro, park_o),
                      jnp.where(active[..., None], rd, park_d),
                      rgb, weight, hitf], axis=1)      # (R, 11)
-                pc = packed[perm]                     # ONE row gather
-                orig = orig[perm]
+                ladder = (cfg.bounce_width_ladder
+                          if cfg.compact_method == "argsort" else 0)
+                if b > 0 and ladder:
+                    # Compaction ladder: bounce b's live rays all sit in
+                    # bounce b-1's live prefix (hits ⊆ previous actives,
+                    # which compaction moved to the front), so the
+                    # argsort + packed gather only need the first
+                    # R >> k rows — the stable sort gives the live rays
+                    # the SAME order as a full-width sort (dead keys are
+                    # all the max sentinel; only the dead tail's order
+                    # differs, which nothing observes).
+                    key = _compact_key(active, ro, rd)
+
+                    def compact_at(w):
+                        def f(args):
+                            pk, og = args
+                            pw = jnp.argsort(key[:w], stable=True)
+                            return (jnp.concatenate([pk[:w][pw], pk[w:]]),
+                                    jnp.concatenate([og[:w][pw], og[w:]]))
+                        return f
+
+                    fc = compact_at(packed.shape[0])
+                    for k in range(1, ladder + 1):
+                        w = packed.shape[0] >> k
+                        if w < 512:
+                            break
+                        fc = (lambda fw, ff, w=w: lambda args:
+                              jax.lax.cond(prev_live <= w, fw, ff, args)
+                              )(compact_at(w), fc)
+                    pc, orig = fc((packed, orig))
+                else:
+                    perm, _ = _compact_perm(active, ro, rd,
+                                            cfg.compact_method,
+                                            want_inv=False)
+                    pc = packed[perm]                 # ONE row gather
+                    orig = orig[perm]
+                prev_live = jnp.sum(active.astype(I32))
                 ro_c, rd_c = pc[:, 0:3], pc[:, 3:6]
                 rgb, weight, hitf = pc[:, 6:9], pc[:, 9:10], pc[:, 10:11]
 
