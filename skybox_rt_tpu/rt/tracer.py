@@ -90,8 +90,9 @@ class RTConfig:
     # so the Pallas kernels' whole-tile AABB gates skip them outright.
     compact_bounces: bool = True
     # compaction permutation: 'argsort' (octant+Morton full sort),
-    # 'octant' (counting sort, no Morton — see _compact_perm), or
-    # 'partition' (active-first only)
+    # 'argsort_om' (origin-major key — coarse origin bits above the
+    # octant, see _compact_key), 'octant' (counting sort, no Morton —
+    # see _compact_perm), or 'partition' (active-first only)
     compact_method: str = "argsort"
     # stay in compacted order across bounces (one packed row gather per
     # bounce + one final scatter) instead of unsorting every bounce's
@@ -192,14 +193,19 @@ def _part1by2_i32(x):
     return x
 
 
-def _compact_key(active, o, d):
+def _compact_key(active, o, d, origin_major: bool = False):
     """Bounce re-compaction sort key: inactive rays last; active rays
     grouped by direction OCTANT (sign-consistent bundles — the
     conservative interval test can then cull on every axis) and ordered
     by a 27-bit Morton code of the origin within the active bbox (bundle
     origins stay local).  Reflected/shadow bundles formed from
     consecutive sorted rays get tight (origin, direction) boxes, which
-    is what the worklist prepass culls with."""
+    is what the worklist prepass culls with.
+
+    origin_major puts the top 6 Morton bits (two octree levels of the
+    origin) ABOVE the octant bits: octant-major sweeps the scene once
+    per octant, origin-major keeps bundle origins tight and lets the
+    octant split only within a coarse cell."""
     oct_ = ((d[:, 0] > 0).astype(I32)
             | ((d[:, 1] > 0).astype(I32) << 1)
             | ((d[:, 2] > 0).astype(I32) << 2))
@@ -210,7 +216,10 @@ def _compact_key(active, o, d):
     q = jnp.clip(((o - lo) * scale), 0.0, 511.0).astype(I32)
     m = (_part1by2_i32(q[:, 0]) << 2) | (_part1by2_i32(q[:, 1]) << 1) \
         | _part1by2_i32(q[:, 2])
-    key = (oct_ << 27) | m
+    if origin_major:
+        key = ((m >> 21) << 24) | (oct_ << 21) | (m & 0x1FFFFF)
+    else:
+        key = (oct_ << 27) | m
     return jnp.where(active, key, jnp.int32(1) << 30)
 
 
@@ -248,8 +257,10 @@ def _compact_perm(active, o, d, method: str, want_inv: bool = True):
     want_inv=False skips the inverse-permutation scatter (the
     stay-compacted bounce loop never unsorts, so it never needs it).
     """
-    if method == "argsort":
-        perm = jnp.argsort(_compact_key(active, o, d), stable=True)
+    if method in ("argsort", "argsort_om"):
+        perm = jnp.argsort(_compact_key(active, o, d,
+                                        origin_major=method == "argsort_om"),
+                           stable=True)
         if not want_inv:
             return perm, None
         inv = jnp.zeros_like(perm).at[perm].set(
@@ -496,7 +507,8 @@ def trace_rays(scene_arrays, cfg: RTConfig, closest, occluded,
                      jnp.where(active[..., None], rd, park_d),
                      rgb, weight, hitf], axis=1)      # (R, 11)
                 ladder = (cfg.bounce_width_ladder
-                          if cfg.compact_method == "argsort" else 0)
+                          if cfg.compact_method.startswith("argsort")
+                          else 0)
                 if b > 0 and ladder:
                     # Compaction ladder: bounce b's live rays all sit in
                     # bounce b-1's live prefix (hits ⊆ previous actives,
@@ -506,7 +518,9 @@ def trace_rays(scene_arrays, cfg: RTConfig, closest, occluded,
                     # the SAME order as a full-width sort (dead keys are
                     # all the max sentinel; only the dead tail's order
                     # differs, which nothing observes).
-                    key = _compact_key(active, ro, rd)
+                    key = _compact_key(
+                        active, ro, rd,
+                        origin_major=cfg.compact_method == "argsort_om")
 
                     def compact_at(w):
                         def f(args):

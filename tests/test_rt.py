@@ -353,7 +353,8 @@ def test_bounce_width_ladder_image_identical():
     assert np.isfinite(a).all()
 
 
-@pytest.mark.parametrize("method", ["argsort", "octant", "partition"])
+@pytest.mark.parametrize("method",
+                         ["argsort", "argsort_om", "octant", "partition"])
 def test_compact_methods_image_identical(method):
     """Every compaction permutation (full Morton argsort, octant
     counting sort, active-first partition — rt.tracer._compact_perm) is
