@@ -34,9 +34,12 @@ PALLAS_MAX_TRIS = 15000
 #: scripts/rt_probe2_r5.py), with tighter cuts losing (128: 9.1).
 BVH_TRI_BLOCK = 256
 #: Inner-loop unroll of the BVH worklist kernel (must divide
-#: BVH_TRI_BLOCK); 16 measured faster at 1.31M tris (12.1 vs 11.5
-#: Mrays/s) AND on the north-star frame (505.2 -> 477.5 ms).
-BVH_UNROLL = 16
+#: BVH_TRI_BLOCK); 16 beat 8 in round-5 session 1 (505.2 -> 477.5 ms
+#: north-star), and 32 beat 16 late-session at BOTH levels: 1.31M
+#: standalone 107.9 -> 95.4 ms and north-star frame 419.1 -> 402.0 ms
+#: (u=16 re-timed 426.3; probe9/probe10, same-window).  64 loses
+#: (120.6 standalone).
+BVH_UNROLL = 32
 #: Front-to-back early exit in the closest-hit walk: wins at very high
 #: block occupancy (1.31M tris: 86.9 -> 81.3 ms) but its per-entry SMEM
 #: table clamps L 256 -> 209 at 1M rays and the north-star frame is
